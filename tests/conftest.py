@@ -1,0 +1,20 @@
+"""Test harness config: run JAX on a virtual 8-device CPU mesh so the
+multi-chip sharding paths compile and execute without TPU hardware."""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import pathlib
+
+import pytest
+
+EXAMPLE_DATA = pathlib.Path("/root/reference/example_data")
+
+
+@pytest.fixture
+def example_data():
+    return EXAMPLE_DATA
