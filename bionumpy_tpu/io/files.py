@@ -1,0 +1,111 @@
+"""File façade: suffix -> buffer type dispatch (reference:
+bionumpy/io/files.py:28-246)."""
+from __future__ import annotations
+
+import logging
+from pathlib import PurePath
+from typing import Optional, Union
+
+from ..bnpdataclass import BNPDataClass
+from .bam import BamBuffer, BamIntervalBuffer
+from .delimited_buffers import (BdgBuffer, BedBuffer, ChromosomeSizeBuffer,
+                                GfaSequenceBuffer, GFFBuffer, GTFBuffer,
+                                NarrowPeakBuffer)
+from .fastq_buffer import FastQBuffer
+from .file_buffers import FileBuffer
+from .gzip_reading import gzip
+from .multiline_buffer import MultiLineFastaBuffer
+from .npdataclassreader import NpDataclassReader
+from .pairs import PairsBuffer
+from .parser import NpBufferedWriter, NumpyBamWriter, NumpyFileReader
+from .sam import SAMBuffer
+from .vcf_buffers import VCFBuffer
+from .wig import WigBuffer
+
+logger = logging.getLogger(__name__)
+
+buffer_types = {
+    ".vcf": VCFBuffer,
+    ".bed": BedBuffer,
+    ".bdg": BdgBuffer,
+    ".narrowPeak": NarrowPeakBuffer,
+    ".fasta": MultiLineFastaBuffer,
+    ".fa": MultiLineFastaBuffer,
+    ".fna": MultiLineFastaBuffer,
+    ".faa": MultiLineFastaBuffer,
+    ".fastq": FastQBuffer,
+    ".fq": FastQBuffer,
+    ".gfa": GfaSequenceBuffer,
+    ".gff": GFFBuffer,
+    ".gtf": GTFBuffer,
+    ".gff3": GFFBuffer,
+    ".sam": SAMBuffer,
+    ".bam": BamBuffer,
+    ".sizes": ChromosomeSizeBuffer,
+    ".wig": WigBuffer,
+    ".pairs": PairsBuffer,
+    ".pa5": PairsBuffer,
+}
+
+
+def _get_buffer_type(suffix: str):
+    if suffix in buffer_types:
+        return buffer_types[suffix]
+    names = {buffer.__name__ for buffer in buffer_types.values()}
+    raise RuntimeError(
+        f"File format {suffix} does not have a default buffer type. "
+        f"Specify buffer_type using one of "
+        f"{sorted('bnp.' + n for n in names)} or use a valid extension "
+        f"{sorted(buffer_types.keys())}")
+
+
+def _get_buffered_file(filename, suffix, mode, is_gzip=False,
+                       buffer_type=None, **kwargs):
+    open_func = gzip.open if is_gzip else open
+    if buffer_type is None:
+        buffer_type = _get_buffer_type(suffix)
+    writer_class = NumpyBamWriter if suffix == ".bam" else NpBufferedWriter
+    if mode in ("w", "write", "wb"):
+        return writer_class(open_func(filename, "wb"), buffer_type)
+    if mode in ("a", "append", "ab"):
+        return writer_class(open_func(filename, "ab"), buffer_type)
+    file_reader = NumpyFileReader(open_func(filename, "rb"), buffer_type)
+    if is_gzip:
+        file_reader.set_prepend_mode()
+    return NpDataclassReader(file_reader, lazy=kwargs.get("lazy", None))
+
+
+def bnp_open(filename: str, mode: str = None, buffer_type=None,
+             lazy=None) -> Union[NpDataclassReader, NpBufferedWriter]:
+    """Open a bioinformatics file according to its suffix."""
+    path = PurePath(filename)
+    suffix = path.suffixes[-1]
+    is_gzip = suffix in (".gz", ".bam")
+    if suffix == ".gz":
+        suffix = path.suffixes[-2]
+    return _get_buffered_file(filename, suffix, mode, is_gzip=is_gzip,
+                              buffer_type=buffer_type, lazy=lazy)
+
+
+def count_entries(filename: str, buffer_type: FileBuffer = None) -> int:
+    """Count entries in a file."""
+    logger.info("Counting entries in %s", filename)
+    path = PurePath(filename)
+    suffix = path.suffixes[-1]
+    is_gzip = suffix in (".gz", ".bam")
+    if suffix == ".gz":
+        suffix = path.suffixes[-2]
+    open_func = gzip.open if is_gzip else open
+    if buffer_type is None:
+        buffer_type = _get_buffer_type(suffix)
+    file_reader = NumpyFileReader(open_func(filename, "rb"), buffer_type)
+    if is_gzip:
+        file_reader.set_prepend_mode()
+    return sum(chunk.count_entries()
+               for chunk in file_reader.read_chunks(min_chunk_size=500_000))
+
+
+def read(filename: str, mode: str = None,
+         buffer_type: Optional[FileBuffer] = None) -> BNPDataClass:
+    with bnp_open(filename, mode, buffer_type) as f:
+        return f.read()

@@ -281,6 +281,12 @@ class RaggedArray:
                     (np.arange(len(self)), np.where(col < 0, self.lengths + col, col))
                 )
                 return self._data[flat_idx]
+        if isinstance(col_idx, slice):
+            rows = np.arange(len(self))[row_idx] \
+                if isinstance(row_idx, slice) else np.asarray(row_idx)
+            if rows.dtype == bool:
+                rows = np.flatnonzero(rows)
+            return self._gather_rows(rows)._col_slice(col_idx)
         row = np.asarray(row_idx)
         col = np.asarray(col_idx)
         if row.ndim >= 1 and col.ndim >= 1 or (row.ndim >= 1 and col.ndim == 0):
@@ -315,10 +321,41 @@ class RaggedArray:
             return
         if isinstance(idx, tuple):
             row_idx, col_idx = idx
-            row = np.asarray(row_idx)
-            col = np.asarray(col_idx)
-            col = np.where(col < 0, self.lengths[row] + col, col)
-            self._data[self._shape.ravel_multi_index((row, col))] = value
+            if isinstance(row_idx, slice):
+                rows = np.arange(len(self))[row_idx]
+            else:
+                rows = np.asarray(row_idx)
+                if rows.dtype == bool:
+                    rows = np.flatnonzero(rows)
+            lengths = self.lengths[rows]
+            starts = self._shape.starts[rows]
+            if isinstance(col_idx, slice):
+                assert col_idx.step in (None, 1)
+                c0 = col_idx.start if col_idx.start is not None else 0
+                c0 = np.where(c0 < 0, np.maximum(lengths + c0, 0),
+                              np.minimum(c0, lengths))
+                if col_idx.stop is None:
+                    c1 = lengths
+                elif col_idx.stop < 0:
+                    c1 = np.maximum(lengths + col_idx.stop, 0)
+                else:
+                    c1 = np.minimum(col_idx.stop, lengths)
+                view = RaggedView(starts + c0, np.maximum(c1 - c0, 0))
+                flat_idx = view.get_flat_indices()
+            else:
+                col = np.asarray(col_idx)
+                col = np.where(col < 0, lengths + col, col)
+                flat_idx = starts + col
+            if isinstance(value, RaggedArray):
+                value = value.ravel()
+            elif hasattr(value, "raw") and not isinstance(value, np.ndarray):
+                value = value.raw()
+                if isinstance(value, RaggedArray):
+                    value = value.ravel()
+            if isinstance(value, np.ndarray) and value.ndim > 1 and \
+                    value.size == flat_idx.size:
+                value = value.ravel()
+            self._data[flat_idx] = value
             return
         idx = np.asarray(idx)
         if idx.dtype == bool:
@@ -435,11 +472,21 @@ class RaggedArray:
         if axis is None:
             return self._data.sum(dtype=dtype)
         assert axis in (-1, 1)
-        off = self._shape.offsets
-        cums = np.insert(np.cumsum(self._data, dtype=np.float64 if dtype is None and
-                                   np.issubdtype(self._data.dtype, np.floating) else dtype), 0, 0)
-        res = cums[off[1:]] - cums[off[:-1]]
-        if np.issubdtype(self._data.dtype, np.integer) and dtype is None:
+        if len(self) == 0:
+            res = np.zeros(0, dtype=dtype or self._data.dtype)
+        elif self.size == 0:
+            res = np.zeros(len(self), dtype=dtype or self._data.dtype)
+        else:
+            data = self._data if dtype is None else self._data.astype(dtype)
+            if data.dtype == bool:
+                data = data.astype(np.int64)
+            starts = np.minimum(self._shape.starts, self.size - 1)
+            res = np.add.reduceat(data, starts)
+            # reduceat returns data[start] for empty rows; zero them out
+            empty = self.lengths == 0
+            if np.any(empty):
+                res = np.where(empty, data.dtype.type(0), res)
+        if np.issubdtype(res.dtype, np.integer) and dtype is None:
             res = res.astype(np.int64)
         if keepdims:
             res = res[:, None]
@@ -509,9 +556,6 @@ class RaggedArray:
             return np.cumsum(self._data, dtype=dtype)
         assert axis in (-1, 1)
         cums = np.cumsum(self._data, dtype=dtype)
-        row_offsets = np.repeat(
-            np.insert(cums[self._shape.offsets[1:-1] - 1], 0, 0)
-            if len(self) > 0 else np.empty(0), self.lengths)
         # subtract cumulative total of previous rows
         totals = np.insert(np.cumsum(self.sum(axis=-1)), 0, 0)[:-1]
         out = cums - np.repeat(totals, self.lengths)
