@@ -1,0 +1,137 @@
+"""Device k-mer kernels: 2-bit pack + rolling hash as uint32 limbs.
+
+TPU-native replacement for the reference hot loop
+(npstructures.BitArray.pack + sliding_window used at
+bionumpy/sequence/kmers.py:106-128).  TPU has no native int64, so the
+64-bit little-endian polynomial hash hash = sum(code_i * 4^i) is carried
+as two uint32 limbs:
+
+    lo = bits  0..31  (bases 0..15 of the window)
+    hi = bits 32..63  (bases 16..31)
+
+The packing step stores 16 bases per uint32 word; every window is then
+two-three word reads + shifts — no gathers, only jnp.repeat broadcasts,
+which XLA lowers to cheap reshapes.  Bit-exact vs the reference's int64
+hashes after host-side limb combine.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+WORD_BASES = 16  # 16 2-bit codes per uint32
+
+
+def pack_2bit(codes: jnp.ndarray) -> jnp.ndarray:
+    """codes: flat uint8/uint32 array, length multiple of 16 ->
+    uint32 words, little-endian 2-bit packing."""
+    blocks = codes.astype(jnp.uint32).reshape(-1, WORD_BASES)
+    shifts = (2 * jnp.arange(WORD_BASES, dtype=jnp.uint32))
+    # shifted codes occupy disjoint bit ranges, so a sum is a bitwise OR
+    return (blocks << shifts).sum(axis=-1).astype(jnp.uint32)
+
+
+def _window_limbs(packed: jnp.ndarray, n_positions: int, k: int):
+    """(lo, hi) uint32 hash limbs for every flat window start position.
+
+    packed must have >= ceil(n/16)+2 words (pad input by 32 bases)."""
+    n_words_needed = n_positions // WORD_BASES + 1
+    p0 = jnp.repeat(packed[:n_words_needed], WORD_BASES)[:n_positions]
+    p1 = jnp.repeat(packed[1: n_words_needed + 1], WORD_BASES)[:n_positions]
+    p2 = jnp.repeat(packed[2: n_words_needed + 2], WORD_BASES)[:n_positions]
+    bit = jnp.tile((jnp.arange(WORD_BASES, dtype=jnp.uint32) * 2),
+                   n_words_needed)[:n_positions]
+    nonzero_bit = bit > 0
+    inv = jnp.where(nonzero_bit, 32 - bit, 0).astype(jnp.uint32)
+    lo = (p0 >> bit) | jnp.where(nonzero_bit, p1 << inv, 0)
+    hi = (p1 >> bit) | jnp.where(nonzero_bit, p2 << inv, 0)
+    if k <= 16:
+        mask_lo = jnp.uint32((1 << (2 * k)) - 1) if k < 16 else \
+            jnp.uint32(0xFFFFFFFF)
+        return lo & mask_lo, jnp.zeros_like(lo)
+    mask_hi = jnp.uint32((1 << (2 * (k - 16))) - 1) if k < 32 else \
+        jnp.uint32(0xFFFFFFFF)
+    return lo, hi & mask_hi
+
+
+@partial(jax.jit, static_argnames=("k",))
+def kmer_hash_limbs(codes_padded: jnp.ndarray, k: int):
+    """All flat window hashes over a padded code buffer.
+
+    codes_padded: uint8 codes padded to a multiple of 16, plus >=32 extra
+    padding bases.  Returns (lo, hi) uint32 arrays of len(codes_padded)-32.
+    """
+    packed = pack_2bit(codes_padded)
+    n_positions = codes_padded.shape[0] - 2 * WORD_BASES
+    return _window_limbs(packed, n_positions, k)
+
+
+@partial(jax.jit, static_argnames=("k", "n_counts"))
+def kmer_count_small(codes_padded: jnp.ndarray, dist_padded: jnp.ndarray,
+                     k: int, n_counts: int):
+    """Exact counts over the full 4^k domain (k <= 12) via device
+    scatter-add; invalid (row-crossing / padding) windows are dropped.
+
+    dist_padded: int32 remaining-in-row counts per position."""
+    lo, _ = kmer_hash_limbs(codes_padded, k)
+    valid = dist_padded[: lo.shape[0]] >= k
+    indices = jnp.where(valid, lo, n_counts).astype(jnp.int32)
+    counts = jnp.zeros(n_counts + 1, dtype=jnp.int32).at[indices].add(1)
+    return counts[:-1]
+
+
+@partial(jax.jit, static_argnames=("k",))
+def kmer_hashes_masked(codes_padded: jnp.ndarray, dist_padded: jnp.ndarray,
+                       k: int):
+    """(lo, hi, valid) for every flat position."""
+    lo, hi = kmer_hash_limbs(codes_padded, k)
+    valid = dist_padded[: lo.shape[0]] >= k
+    return lo, hi, valid
+
+
+@jax.jit
+def unique_kmer_stats(lo: jnp.ndarray, hi: jnp.ndarray, valid: jnp.ndarray):
+    """(n_unique, n_total) of the valid 64-bit hashes via two-key sort +
+    run-length detection — the k>12 counting path where 4^k cannot be
+    materialized (SURVEY §7 step 4)."""
+    # push invalid entries to the end with the maximum key
+    sentinel = jnp.uint32(0xFFFFFFFF)
+    hi_k = jnp.where(valid, hi, sentinel)
+    lo_k = jnp.where(valid, lo, sentinel)
+    hi_s, lo_s = jax.lax.sort((hi_k, lo_k), num_keys=2)
+    n_valid = valid.sum()
+    is_new = jnp.concatenate([
+        jnp.array([True]),
+        (hi_s[1:] != hi_s[:-1]) | (lo_s[1:] != lo_s[:-1])])
+    in_range = jnp.arange(lo.shape[0]) < n_valid
+    n_unique = jnp.sum(is_new & in_range)
+    return n_unique, n_valid
+
+
+@jax.jit
+def hash_checksum(lo: jnp.ndarray, hi: jnp.ndarray, valid: jnp.ndarray):
+    """Order-independent checksum of valid hashes (bench verification
+    without materializing counts)."""
+    lo_sum = jnp.sum(jnp.where(valid, lo, 0).astype(jnp.uint32))
+    hi_sum = jnp.sum(jnp.where(valid, hi, 0).astype(jnp.uint32))
+    xor = jnp.bitwise_xor
+    lo_x = jax.lax.reduce(jnp.where(valid, lo, 0), jnp.uint32(0), xor, [0])
+    hi_x = jax.lax.reduce(jnp.where(valid, hi, 0), jnp.uint32(0), xor, [0])
+    return lo_sum, hi_sum, lo_x, hi_x
+
+
+def prepare_codes(flat_codes: np.ndarray, lengths: np.ndarray,
+                  min_bucket: int = 1 << 14):
+    """Host-side: pad flat codes + distance-to-row-end into a bucket with
+    32 halo bases so every window read stays in bounds."""
+    from .device import bucket_size, distance_to_row_end
+    n = len(flat_codes)
+    size = bucket_size(n + 2 * WORD_BASES, min_bucket)
+    codes = np.zeros(size, dtype=np.uint8)
+    codes[:n] = flat_codes
+    dist = np.zeros(size - 2 * WORD_BASES, dtype=np.int32)
+    dist[:n] = distance_to_row_end(lengths)
+    return codes, dist, n

@@ -1,0 +1,43 @@
+"""Device minimizer kernel: windowed lexicographic min over (hi, lo)
+k-mer hash limbs (reference algorithm: bionumpy/sequence/minimizers.py —
+kmer rolling window then min(axis=-1))."""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .kmers import kmer_hash_limbs
+
+
+def _pair_min(hi_a, lo_a, hi_b, lo_b):
+    take_b = (hi_b < hi_a) | ((hi_b == hi_a) & (lo_b < lo_a))
+    return (jnp.where(take_b, hi_b, hi_a), jnp.where(take_b, lo_b, lo_a))
+
+
+@partial(jax.jit, static_argnames=("k", "n_kmers"))
+def minimizer_limbs(codes_padded: jnp.ndarray, dist_padded: jnp.ndarray,
+                    k: int, n_kmers: int):
+    """(lo, hi, valid) of the minimum k-mer hash over each window of
+    `n_kmers` consecutive k-mers; window at flat position i is valid iff
+    the whole span of window_size = n_kmers + k - 1 bases fits in i's row.
+
+    Windowed min is computed with a log2(n_kmers) doubling sweep over
+    shifted copies — O(log w) vector ops instead of w.
+    """
+    lo, hi = kmer_hash_limbs(codes_padded, k)
+    n = lo.shape[0]
+    # sliding-min via doubling: min over [i, i+span)
+    span = 1
+    while span < n_kmers:
+        step = min(span, n_kmers - span)
+        hi_shift = jnp.concatenate([hi[step:],
+                                    jnp.full(step, 0xFFFFFFFF, jnp.uint32)])
+        lo_shift = jnp.concatenate([lo[step:],
+                                    jnp.full(step, 0xFFFFFFFF, jnp.uint32)])
+        hi, lo = _pair_min(hi, lo, hi_shift, lo_shift)
+        span += step
+    window_size = n_kmers + k - 1
+    valid = dist_padded[:n] >= window_size
+    return lo, hi, valid

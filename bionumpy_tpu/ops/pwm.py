@@ -1,0 +1,42 @@
+"""Device PWM scanning: offset-shifted LUT accumulate
+(reference algorithm: bionumpy/sequence/position_weight_matrix.py:85-101).
+
+scores[i] = sum_j matrix[seq[i+j], j] over all flat positions; invalid
+(row-crossing) windows are masked by the caller via the distance vector.
+The per-offset gather is a take from a (alphabet_size,) column — XLA
+lowers small-table takes to vector selects, keeping the whole scan one
+fused VPU loop.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(jax.jit, static_argnames=("window_size",))
+def pwm_scores(codes: jnp.ndarray, matrix: jnp.ndarray, window_size: int):
+    """codes: flat int codes (padded with zeros beyond true length + w).
+    matrix: (alphabet_size, window_size) float32 log-likelihoods.
+    Returns flat scores of the same length as codes."""
+    n = codes.shape[0]
+    codes = codes.astype(jnp.int32)
+    scores = jnp.zeros(n, dtype=jnp.float32)
+    for offset in range(window_size):
+        column = matrix[:, offset]
+        shifted = jnp.concatenate(
+            [codes[offset:], jnp.zeros(offset, dtype=jnp.int32)])
+        scores = scores + jnp.take(column, shifted)
+    return scores
+
+
+@partial(jax.jit, static_argnames=("window_size",))
+def pwm_best_scores(codes: jnp.ndarray, dist: jnp.ndarray,
+                    matrix: jnp.ndarray, window_size: int):
+    """(max_score, count_above) helpers for motif matching; invalid
+    windows get -inf."""
+    scores = pwm_scores(codes, matrix, window_size)
+    valid = dist[: scores.shape[0]] >= window_size
+    masked = jnp.where(valid, scores, -jnp.inf)
+    return masked

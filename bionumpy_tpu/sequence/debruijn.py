@@ -1,0 +1,60 @@
+"""De Bruijn graph over k-mer sets (reference:
+bionumpy/sequence/debruin.py:8-74)."""
+from __future__ import annotations
+
+from collections import defaultdict
+
+from ..encoded_array import as_encoded_array
+from ..encodings import DNAEncoding
+from ..encodings.kmer_encodings import KmerEncoding
+from .kmers import get_kmers
+
+
+class DeBruijnGraph:
+    def __init__(self, kmer_set, k):
+        self._kmer_set = kmer_set
+        self._kmer_encoding = KmerEncoding(DNAEncoding, k)
+        self._k = k
+
+    @classmethod
+    def from_sequences(cls, sequences, k=31):
+        kmers = get_kmers(as_encoded_array(sequences), k)
+        return cls(set(int(x) for x in kmers.ravel().raw()), k)
+
+    def _get_previous(self, kmer):
+        mask = 4 ** self._k - 1
+        base = (int(kmer) << 2) & mask
+        return [base + i for i in range(4)]
+
+    def _get_next(self, kmer):
+        base = int(kmer) >> 2
+        return [base + (i << (2 * (self._k - 1))) for i in range(4)]
+
+    def forward(self, kmer):
+        kmer = int(as_encoded_array(kmer, self._kmer_encoding).raw())
+        return [self._kmer_encoding.to_string(n)
+                for n in self._get_next(kmer) if n in self._kmer_set]
+
+    def backward(self, kmer):
+        kmer = int(as_encoded_array(kmer, self._kmer_encoding).raw())
+        return [self._kmer_encoding.to_string(n)
+                for n in self._get_previous(kmer) if n in self._kmer_set]
+
+
+class ColoredDeBruijnGraph:
+    def __init__(self, color_dict, k):
+        self._color_dict = color_dict
+        self._kmer_encoding = KmerEncoding(DNAEncoding, k)
+
+    @classmethod
+    def from_sequences(cls, sequences, k):
+        color_dict = defaultdict(list)
+        kmers = get_kmers(as_encoded_array(sequences), k)
+        for i, row in enumerate(kmers.raw()):
+            for kmer in row:
+                color_dict[int(kmer)].append(i)
+        return cls(color_dict, k)
+
+    def __getitem__(self, idx):
+        kmer = as_encoded_array(idx, self._kmer_encoding).raw()
+        return self._color_dict[int(kmer)]

@@ -1,0 +1,74 @@
+"""Minimizer extraction — device windowed-min over hash limbs
+(reference semantics: bionumpy/sequence/minimizers.py:8-54)."""
+from __future__ import annotations
+
+import numpy as np
+
+from ..encoded_array import (EncodedArray, EncodedRaggedArray,
+                             as_encoded_array)
+from ..encodings.alphabet_encoding import AlphabetEncoding
+from ..encodings.kmer_encodings import KmerEncoding
+from ..ragged import RaggedShape, RaggedView
+from ..util import is_subclass_or_instance
+from .kmers import KmerEncoder
+from .rollable import RollableFunction
+
+
+class Minimizers(RollableFunction):
+    """Host fallback rollable (reference:
+    bionumpy/sequence/minimizers.py:8-16)."""
+
+    def __init__(self, n_kmers, kmer_encoder: KmerEncoder):
+        self._n_kmers = n_kmers
+        self._kmer_encoder = kmer_encoder
+        self.window_size = n_kmers + kmer_encoder.window_size - 1
+        self._encoding = kmer_encoder._encoding
+
+    def __call__(self, sequence):
+        kmer_hashes = self._kmer_encoder.rolling_window(sequence)
+        return EncodedArray(kmer_hashes.raw().min(axis=-1),
+                            kmer_hashes.encoding)
+
+
+def get_minimizers(sequence, k: int, window_size: int) -> EncodedRaggedArray:
+    """Minimum k-mer hash in every window of `window_size` bases."""
+    sequence = as_encoded_array(sequence)
+    assert is_subclass_or_instance(sequence.encoding, AlphabetEncoding), \
+        "Sequence needs an AlphabetEncoding, e.g. DNAEncoding"
+    assert k <= window_size, "kmer size must be <= window size"
+    was_flat = isinstance(sequence, EncodedArray)
+    if was_flat:
+        sequence = EncodedRaggedArray(sequence, [len(sequence)])
+    if sequence.encoding.alphabet_size == 4:
+        result = _device_minimizers(sequence, k, window_size)
+    else:
+        result = Minimizers(window_size - k + 1,
+                            KmerEncoder(k, sequence.encoding)
+                            ).rolling_window(sequence)
+    if was_flat:
+        return result[0] if len(result) else result
+    return result
+
+
+def _device_minimizers(sequence: EncodedRaggedArray, k: int,
+                       window_size: int) -> EncodedRaggedArray:
+    import jax.numpy as jnp
+    from ..ops.kmers import prepare_codes
+    from ..ops.minimizers import minimizer_limbs
+
+    flat = np.asarray(sequence.ravel().raw())
+    lengths = np.asarray(sequence.lengths)
+    n_kmers = window_size - k + 1
+    codes, dist, n = prepare_codes(flat, lengths)
+    lo, hi, _ = minimizer_limbs(jnp.asarray(codes), jnp.asarray(dist), k,
+                                n_kmers)
+    lo = np.asarray(lo[:n])
+    hi = np.asarray(hi[:n])
+    hashes = (lo.astype(np.uint64) |
+              (hi.astype(np.uint64) << np.uint64(32))).view(np.int64)
+    out_lengths = np.maximum(lengths - window_size + 1, 0)
+    starts = np.insert(np.cumsum(lengths), 0, 0)[:-1]
+    valid = hashes[RaggedView(starts, out_lengths).get_flat_indices()]
+    return EncodedRaggedArray(
+        EncodedArray(valid, KmerEncoding(sequence.encoding, k)),
+        RaggedShape(out_lengths))

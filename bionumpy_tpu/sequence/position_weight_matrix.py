@@ -1,0 +1,151 @@
+"""PWM / motif scanning — device offset-accumulate scan
+(reference: bionumpy/sequence/position_weight_matrix.py)."""
+from __future__ import annotations
+
+import typing
+from typing import Dict
+
+import numpy as np
+
+from ..encoded_array import (EncodedArray, EncodedRaggedArray,
+                             as_encoded_array)
+from ..encodings.alphabet_encoding import AlphabetEncoding
+from ..ragged import RaggedArray, RaggedShape
+from .rollable import RollableFunction
+
+
+def _pwm_from_counts(count_matrix):
+    with_pseudo = count_matrix + 1
+    return np.log(with_pseudo / with_pseudo.sum(axis=0, keepdims=True))
+
+
+class PWM:
+    """Position Weight Matrix of log-likelihood ratios
+    (reference: bionumpy/sequence/position_weight_matrix.py:35-140)."""
+
+    def __init__(self, matrix, alphabet):
+        self._matrix = np.asarray(matrix, dtype=float)
+        self._alphabet = alphabet
+        self._encoding = AlphabetEncoding(alphabet)
+        self._indices = np.arange(self.window_size)
+
+    @property
+    def alphabet(self) -> str:
+        return self._alphabet
+
+    @property
+    def matrix(self) -> np.ndarray:
+        return self._matrix
+
+    @property
+    def window_size(self) -> int:
+        return self._matrix.shape[-1]
+
+    def as_valid_encoded_array(self, sequence):
+        if isinstance(sequence, (EncodedArray, EncodedRaggedArray)):
+            if isinstance(sequence.encoding, AlphabetEncoding):
+                alphabet = list(sequence.encoding.get_alphabet())
+                own = list(self._alphabet)
+                raw = sequence.raw()
+                flat = raw.ravel() if isinstance(raw, RaggedArray) else raw
+                max_code = int(np.max(np.asarray(flat), initial=0))
+                if alphabet[: len(own)] != own or max_code >= len(own):
+                    raise ValueError(
+                        f"Cannot calculate pwm for alphabet {own} on "
+                        f"{alphabet}-encoded array")
+                return sequence
+        return as_encoded_array(sequence, self._encoding)
+
+    def calculate_score(self, sequence):
+        sequence = self.as_valid_encoded_array(sequence)
+        assert sequence.shape[-1] == self.window_size
+        scores = self._matrix[sequence.raw(), self._indices]
+        return scores.sum(axis=-1)
+
+    def calculate_scores(self, sequence) -> np.ndarray:
+        """Scores at every flat position (windows running off the end get
+        partial sums, exactly like the reference:
+        position_weight_matrix.py:85-101)."""
+        sequence = self.as_valid_encoded_array(sequence)
+        codes = np.asarray(sequence.raw())
+        scores = np.zeros(codes.size, dtype=float)
+        matrix_t = self._matrix.T
+        for offset, row in enumerate(matrix_t):
+            scores[: scores.size - offset] += row[codes[offset:]]
+        return scores
+
+    @classmethod
+    def from_dict(cls, dictionary: Dict[str, typing.Any],
+                  background: Dict[str, float] = None) -> "PWM":
+        if background is None:
+            background = {key: 1 / len(dictionary) for key in dictionary}
+        alphabet = "".join(dictionary.keys())
+        with np.errstate(divide="ignore"):
+            matrix = np.log(np.array(list(dictionary.values()))) - \
+                np.log([background[key] for key in dictionary])[:, np.newaxis]
+        return cls(matrix, alphabet)
+
+    @classmethod
+    def from_counts(cls, counts: Dict[str, typing.List[int]]) -> "PWM":
+        return cls(_pwm_from_counts(np.array(list(counts.values()))),
+                   "".join(counts.keys()))
+
+    def __str__(self):
+        matrix = self._matrix.transpose()
+        return ("PWM with alphabet " + self._alphabet + "\n" +
+                "\n".join(" ".join(str(round(c, 2)) for c in row)
+                          for row in matrix))
+
+
+class PositionWeightMatrix(RollableFunction):
+    def __init__(self, pwm: PWM):
+        self._pwm = pwm
+        self._encoding = pwm._encoding
+        self.window_size = pwm.window_size
+
+    def __call__(self, sequence):
+        return self._pwm.calculate_score(sequence)
+
+
+def _device_motif_scores(sequence: EncodedRaggedArray,
+                         pwm: PWM) -> np.ndarray:
+    import jax.numpy as jnp
+    from ..ops.device import bucket_size
+    from ..ops.pwm import pwm_scores
+
+    flat = np.asarray(sequence.ravel().raw())
+    n = len(flat)
+    size = bucket_size(n + pwm.window_size, 1 << 14)
+    codes = np.zeros(size, dtype=np.uint8)
+    codes[:n] = flat
+    scores = pwm_scores(jnp.asarray(codes),
+                        jnp.asarray(pwm.matrix, dtype=jnp.float32),
+                        pwm.window_size)
+    return np.asarray(scores[:n], dtype=float)
+
+
+def get_motif_scores(sequence, pwm: PWM) -> RaggedArray:
+    """Log-likelihood motif score at every position of every sequence
+    (reference: bionumpy/sequence/position_weight_matrix.py:166-196).
+
+    Windows that run past a sequence end score -inf in the reference's
+    example (log(0) terms); here they are gathered off before return, so
+    each row has length L - w + 1 ... matching the reference after its
+    trim [..., :-w+1]."""
+    sequence = as_encoded_array(sequence)
+    sequence = pwm.as_valid_encoded_array(sequence)
+    is_ragged = isinstance(sequence, EncodedRaggedArray)
+    if not is_ragged:
+        scores = pwm.calculate_scores(sequence)
+        if pwm.window_size == 1:
+            return scores
+        return scores[: -pwm.window_size + 1]
+    use_device = sequence.size > (1 << 15)
+    if use_device and not np.isneginf(pwm.matrix).any():
+        scores = _device_motif_scores(sequence, pwm)
+    else:
+        scores = pwm.calculate_scores(sequence.ravel())
+    ragged = RaggedArray(scores, RaggedShape(sequence.lengths))
+    if pwm.window_size == 1:
+        return ragged
+    return ragged[:, : -pwm.window_size + 1]
