@@ -1,0 +1,147 @@
+"""Benchmark: 31-mer rolling-hash counting of big.fq.gz-scale FASTQ.
+
+Measures the device pipeline (H2D transfer + 2-bit pack + rolling hash +
+validity-masked checksum reduction) on the real chip, verifies bit-exact
+hashes against a single-core numpy implementation of the reference's
+BitArray algorithm (npstructures BitArray.pack/sliding_window as used at
+/root/reference/bionumpy/sequence/kmers.py:106-128), and reports
+throughput plus the speedup over that single-core numpy baseline.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+K = 31
+REPLICATION = 512  # 1000 reads * ~190bp * 512 ≈ 97M bases per batch
+WARMUP_ITERS = 2
+TIMED_ITERS = 5
+FASTQ = "/root/reference/example_data/big.fq.gz"
+
+
+def numpy_reference_hashes(codes: np.ndarray, k: int) -> np.ndarray:
+    """Single-core numpy twin of the reference's 2-bit-pack rolling hash."""
+    codes = codes.astype(np.uint64)
+    n = len(codes)
+    n_words = (n + 31) // 32 + 2
+    padded = np.zeros(n_words * 32, dtype=np.uint64)
+    padded[:n] = codes
+    blocks = padded.reshape(-1, 32)
+    shifts = (2 * np.arange(32, dtype=np.uint64))
+    words = np.bitwise_or.reduce(blocks << shifts, axis=-1)
+    i = np.arange(n, dtype=np.int64)
+    w = i >> 5
+    bit = ((i & 31) << 1).astype(np.uint64)
+    p0 = words[w]
+    p1 = words[w + 1]
+    lo = (p0 >> bit) | np.where(bit == np.uint64(0), np.uint64(0),
+                                p1 << (np.uint64(64) - bit))
+    mask = np.uint64((1 << (2 * k)) - 1)
+    return lo & mask
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import bionumpy_tpu as bnp
+    from bionumpy_tpu.ops.device import distance_to_row_end
+    from bionumpy_tpu.ops.kmers import (WORD_BASES, hash_checksum,
+                                        kmer_checksum_pipeline,
+                                        kmer_hashes_masked)
+
+    # --- host parse + encode -------------------------------------------------
+    t_parse0 = time.perf_counter()
+    data = bnp.open(FASTQ).read()
+    seqs = bnp.change_encoding(data.sequence, bnp.DNAEncoding)
+    t_parse = time.perf_counter() - t_parse0
+
+    base_flat = np.asarray(seqs.ravel().raw())
+    base_lengths = np.asarray(seqs.lengths)
+    flat = np.tile(base_flat, REPLICATION)
+    lengths = np.tile(base_lengths, REPLICATION)
+    n = len(flat)
+    n_reads = len(lengths)
+
+    # pad to a static shape with halo
+    padded_n = ((n + WORD_BASES - 1) // WORD_BASES) * WORD_BASES
+    codes = np.zeros(padded_n + 2 * WORD_BASES, dtype=np.uint8)
+    codes[:n] = flat
+    lengths_i32 = lengths.astype(np.int32)
+
+    device = jax.devices()[0]
+
+    def step(codes_host, lengths_host):
+        codes_dev = jax.device_put(codes_host, device)
+        lengths_dev = jax.device_put(lengths_host, device)
+        return kmer_checksum_pipeline(codes_dev, lengths_dev, K, n)
+
+    # warmup / compile
+    for _ in range(WARMUP_ITERS):
+        result = jax.block_until_ready(step(codes, lengths_i32))
+
+    t0 = time.perf_counter()
+    for _ in range(TIMED_ITERS):
+        result = jax.block_until_ready(step(codes, lengths_i32))
+    t_device = (time.perf_counter() - t0) / TIMED_ITERS
+    assert int(result[0]) == int(np.maximum(lengths - K + 1, 0).sum())
+
+    n_kmers = int(np.maximum(lengths - K + 1, 0).sum())
+    device_rate = n_kmers / t_device
+    reads_rate = n_reads / t_device
+
+    # --- exactness check vs single-core numpy baseline ----------------------
+    ref_hashes_small = numpy_reference_hashes(base_flat, K)
+    base_dist = distance_to_row_end(base_lengths)
+    ref_valid = base_dist >= K
+    lo_dev, hi_dev, _ = kmer_hashes_masked(
+        jnp.asarray(_pad(base_flat)), jnp.asarray(_pad_dist(base_dist)), K)
+    lo_dev = np.asarray(lo_dev[: len(base_flat)])
+    hi_dev = np.asarray(hi_dev[: len(base_flat)])
+    dev_hashes = lo_dev.astype(np.uint64) | \
+        (hi_dev.astype(np.uint64) << np.uint64(32))
+    exact = np.array_equal(dev_hashes[ref_valid], ref_hashes_small[ref_valid])
+    if not exact:
+        print(json.dumps({"metric": "31-mer hash exactness", "value": 0,
+                          "unit": "bool", "vs_baseline": 0}))
+        sys.exit(1)
+
+    # --- numpy single-core baseline rate ------------------------------------
+    t0 = time.perf_counter()
+    _ = numpy_reference_hashes(flat[: n // 8], K)
+    t_numpy = (time.perf_counter() - t0) * 8  # scale to full batch
+    numpy_rate = n_kmers / t_numpy
+
+    print(json.dumps({
+        "metric": "31-mer rolling-hash throughput per chip "
+                  f"(exact vs reference; {n_reads} reads/iter, "
+                  f"parse {t_parse:.2f}s, {reads_rate:.0f} reads/s)",
+        "value": round(device_rate / 1e6, 2),
+        "unit": "Mkmers/s",
+        "vs_baseline": round(device_rate / numpy_rate, 2),
+    }))
+
+
+def _pad(flat: np.ndarray) -> np.ndarray:
+    from bionumpy_tpu.ops.kmers import WORD_BASES
+    n = len(flat)
+    padded_n = ((n + WORD_BASES - 1) // WORD_BASES) * WORD_BASES
+    out = np.zeros(padded_n + 2 * WORD_BASES, dtype=np.uint8)
+    out[:n] = flat
+    return out
+
+
+def _pad_dist(dist: np.ndarray) -> np.ndarray:
+    from bionumpy_tpu.ops.kmers import WORD_BASES
+    n = len(dist)
+    padded_n = ((n + WORD_BASES - 1) // WORD_BASES) * WORD_BASES
+    out = np.zeros(padded_n, dtype=np.int32)
+    out[:n] = dist
+    return out
+
+
+if __name__ == "__main__":
+    main()

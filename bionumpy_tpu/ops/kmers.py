@@ -123,6 +123,26 @@ def hash_checksum(lo: jnp.ndarray, hi: jnp.ndarray, valid: jnp.ndarray):
     return lo_sum, hi_sum, lo_x, hi_x
 
 
+@partial(jax.jit, static_argnames=("k", "n_true"))
+def kmer_checksum_pipeline(codes_padded: jnp.ndarray, lengths: jnp.ndarray,
+                           k: int, n_true: int):
+    """Full device pipeline for the bench: row lengths -> distance vector
+    (computed on device so only lengths + uint8 codes cross PCIe/ICI),
+    rolling hash, validity mask, order-independent checksum + count."""
+    n_positions = codes_padded.shape[0] - 2 * WORD_BASES
+    ends = jnp.cumsum(lengths)
+    dist_true = jnp.repeat(ends, lengths, total_repeat_length=n_true) - \
+        jnp.arange(n_true, dtype=lengths.dtype)
+    dist = jnp.zeros(n_positions, dtype=jnp.int32).at[:n_true].set(
+        dist_true.astype(jnp.int32))
+    lo, hi = kmer_hash_limbs(codes_padded, k)
+    valid = dist >= k
+    n_kmers = valid.sum()
+    lo_sum = jnp.sum(jnp.where(valid, lo, 0).astype(jnp.uint32))
+    hi_sum = jnp.sum(jnp.where(valid, hi, 0).astype(jnp.uint32))
+    return n_kmers, lo_sum, hi_sum
+
+
 def prepare_codes(flat_codes: np.ndarray, lengths: np.ndarray,
                   min_bucket: int = 1 << 14):
     """Host-side: pad flat codes + distance-to-row-end into a bucket with

@@ -16,6 +16,12 @@ import pathlib
 
 import pytest
 
+# the axon sitecustomize force-sets jax_platforms="axon,cpu" via config,
+# which beats the env var — override it back to the virtual CPU mesh
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 EXAMPLE_DATA = pathlib.Path("/root/reference/example_data")
 
 
