@@ -334,6 +334,24 @@ def _as_encoding_instance(enc):
     return enc if isinstance(enc, Encoding) else enc()
 
 
+def _resolve_string_annotations(cls):
+    """`from __future__ import annotations` turns field types into strings;
+    resolve them against the defining module + typing namespace."""
+    import sys
+    import typing
+    module = sys.modules.get(cls.__module__)
+    namespace = dict(vars(typing))
+    if module is not None:
+        namespace.update(vars(module))
+    for field in dataclasses.fields(cls):
+        if isinstance(field.type, str):
+            try:
+                field.type = eval(field.type, namespace)  # noqa: S307
+            except Exception:
+                pass
+    return cls
+
+
 def bnpdataclass(base_class: type) -> Type[BNPDataClass]:
     """Decorator: dataclass whose fields are coerced column arrays
     (reference: bionumpy/bnpdataclass/bnpdataclass.py:274-413)."""
@@ -341,6 +359,7 @@ def bnpdataclass(base_class: type) -> Type[BNPDataClass]:
         base_class = type(base_class.__name__, (base_class, BNPDataClass),
                           dict(base_class.__dict__))
     cls = dataclasses.dataclass(repr=False, eq=False)(base_class)
+    cls = _resolve_string_annotations(cls)
 
     original_init = cls.__init__
 

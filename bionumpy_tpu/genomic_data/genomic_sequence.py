@@ -1,0 +1,112 @@
+"""Genomic sequence access (reference:
+bionumpy/genomic_data/genomic_sequence.py:16-78)."""
+from __future__ import annotations
+
+from typing import Dict, List, Union
+
+import numpy as np
+
+from ..encoded_array import (EncodedArray, EncodedRaggedArray,
+                             as_encoded_array)
+from ..encodings import DNAEncoding
+from ..encodings.alphabet_encoding import ACGTnEncoding
+from ..io.indexed_fasta import IndexedFasta
+from ..sequence import get_reverse_complement
+from .genomic_track import GenomicData
+
+
+def dna_encode(output):
+    return as_encoded_array(output, ACGTnEncoding)
+
+
+class GenomicSequence(GenomicData):
+    def __init__(self, indexed_fasta: IndexedFasta, genome_context=None):
+        self._genome_context = genome_context
+        self._fasta = indexed_fasta
+
+    @property
+    def genome_context(self):
+        if self._genome_context is None:
+            from .genome_context import GenomeContext
+            return GenomeContext(self._fasta.get_contig_lengths())
+        return self._genome_context
+
+    def __repr__(self):
+        return (f"GenomicSequence over chromosomes: "
+                f"{list(self._fasta.keys())}")
+
+    @classmethod
+    def from_indexed_fasta(cls, indexed_fasta: IndexedFasta,
+                           genome_context=None):
+        return GenomicSequenceIndexedFasta(indexed_fasta, genome_context)
+
+    @classmethod
+    def from_dict(cls, sequence_dict: Dict[str, str]):
+        return GenomicSequenceDict(sequence_dict)
+
+    def extract_chromsome(self, chromosome):
+        return dna_encode(self._fasta[chromosome])
+
+    extract_chromosome = extract_chromsome
+
+    def _extract_intervals(self, intervals):
+        raise NotImplementedError
+
+    def _index_boolean(self, boolean_array):
+        return self.extract_intervals(boolean_array.get_data(),
+                                      stranded=False).ravel()
+
+    def extract_intervals(self, intervals,
+                          stranded: bool = False) -> EncodedRaggedArray:
+        if hasattr(intervals, "get_data") and not hasattr(intervals,
+                                                          "start"):
+            intervals = intervals.get_data()
+        if hasattr(intervals, "data") and not hasattr(intervals, "start"):
+            intervals = intervals.data
+        data = intervals.data if hasattr(intervals, "data") and \
+            not hasattr(intervals, "position") else intervals
+        sequences = dna_encode(self._extract_intervals(data))
+        if stranded:
+            is_plus = np.asarray(data.strand.ravel() == "+")
+            rev = get_reverse_complement(sequences)
+            flat = np.where(np.repeat(is_plus, sequences.lengths),
+                            sequences.ravel().raw(), rev.ravel().raw())
+            sequences = EncodedRaggedArray(
+                EncodedArray(flat, sequences.encoding), sequences.lengths)
+        return sequences
+
+
+class GenomicSequenceIndexedFasta(GenomicSequence):
+    def _extract_intervals(self, intervals):
+        return self._fasta.get_interval_sequences(intervals)
+
+
+class GenomicSequenceDict(GenomicSequence):
+    def __init__(self, sequence_dict: Dict[str, str]):
+        self._genome_context = None
+        self._dict = {name: as_encoded_array(seq,
+                                             target_encoding=ACGTnEncoding)
+                      for name, seq in sequence_dict.items()}
+
+    def __repr__(self):
+        return f"GenomicSequence over chromosomes: {list(self._dict)}"
+
+    @property
+    def genome_context(self):
+        from .genome_context import GenomeContext
+        return GenomeContext({name: len(seq)
+                              for name, seq in self._dict.items()})
+
+    def extract_chromsome(self, chromosome):
+        return self._dict[chromosome]
+
+    extract_chromosome = extract_chromsome
+
+    def _extract_intervals(self, intervals):
+        names = intervals.chromosome.tolist()
+        starts = np.asarray(intervals.start)
+        stops = np.asarray(intervals.stop)
+        rows = [self._dict[str(names[i])][int(starts[i]): int(stops[i])]
+                for i in range(len(starts))]
+        return as_encoded_array(rows, ACGTnEncoding) if rows else \
+            as_encoded_array([], ACGTnEncoding)

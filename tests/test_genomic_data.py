@@ -1,0 +1,139 @@
+import numpy as np
+import pytest
+
+from bionumpy_tpu.datatypes import BedGraph, Interval, LocationEntry
+from bionumpy_tpu.genomic_data import (BinnedGenome, Genome, GenomeContext,
+                                       GlobalOffset)
+
+
+@pytest.fixture
+def genome():
+    return Genome.from_dict({"chr1": 20, "chr2": 10})
+
+
+@pytest.fixture
+def intervals():
+    return Interval(chromosome=["chr1", "chr1", "chr2"], start=[0, 10, 0],
+                    stop=[5, 15, 5])
+
+
+def test_get_track_golden(genome):
+    bedgraph = BedGraph(chromosome=["chr1", "chr1", "chr2"],
+                        start=[0, 10, 0], stop=[5, 15, 5], value=[1, 2, 3])
+    track = genome.get_track(bedgraph)
+    np.testing.assert_array_equal(
+        track["chr1"].to_array(),
+        [1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 2, 2, 2, 2, 2, 0, 0, 0, 0, 0])
+    np.testing.assert_array_equal(track["chr2"].to_array(),
+                                  [3, 3, 3, 3, 3, 0, 0, 0, 0, 0])
+    assert track.sum() == 30
+
+
+def test_pileup_and_mask(genome, intervals):
+    gi = genome.get_intervals(intervals)
+    pileup = gi.get_pileup()
+    np.testing.assert_array_equal(
+        pileup["chr1"].to_array(),
+        [1] * 5 + [0] * 5 + [1] * 5 + [0] * 5)
+    mask = gi.get_mask()
+    np.testing.assert_array_equal(mask["chr2"].to_array(),
+                                  [True] * 5 + [False] * 5)
+
+
+def test_track_extraction(genome, intervals):
+    bedgraph = BedGraph(["chr1", "chr1", "chr2"], [0, 10, 0], [5, 15, 5],
+                        [1, 2, 3])
+    track = genome.get_track(bedgraph)
+    rows = track.extract_intervals(Interval(["chr1", "chr2"], [0, 0],
+                                            [8, 5]))
+    assert rows[0].to_array().tolist() == [1, 1, 1, 1, 1, 0, 0, 0]
+    assert rows[1].to_array().tolist() == [3, 3, 3, 3, 3]
+    np.testing.assert_array_equal(rows.sum(axis=-1), [5, 15])
+
+
+def test_track_arithmetic(genome):
+    bedgraph = BedGraph(["chr1", "chr1", "chr2"], [0, 10, 0], [5, 15, 5],
+                        [1, 2, 3])
+    track = genome.get_track(bedgraph)
+    doubled = track * 2
+    assert doubled.sum() == 60
+    masked = track > 1
+    np.testing.assert_array_equal(masked["chr2"].to_array(),
+                                  [True] * 5 + [False] * 5)
+
+
+def test_locations_and_windows(genome):
+    locs = genome.get_locations(LocationEntry(["chr1", "chr2"], [3, 2]))
+    windows = locs.get_windows(flank=4)
+    np.testing.assert_array_equal(windows.start, [0, 0])
+    np.testing.assert_array_equal(windows.stop, [7, 6])
+
+
+def test_global_offset():
+    go = GlobalOffset({"chr1": 100, "chr2": 50})
+    np.testing.assert_array_equal(go.get_offset(["chr2", "chr1"]), [100, 0])
+    iv = Interval(["chr2"], [10], [20])
+    gi = go.from_local_interval(iv)
+    np.testing.assert_array_equal(gi.start, [110])
+    back = go.to_local_interval(gi)
+    np.testing.assert_array_equal(back.start, [10])
+    assert back.chromosome.encoding.to_string(int(back.chromosome.raw()[0])) \
+        == "chr2"
+
+
+def test_genome_context_masking():
+    ctx = GenomeContext.from_dict({"chr1": 100, "chr1_alt": 50})
+    data = Interval(["chr1", "chr1_alt", "chr1"], [0, 0, 5], [10, 10, 15])
+    masked = ctx.mask_data(data)
+    assert len(masked) == 2
+
+
+def test_genome_from_fasta(example_data, tmp_path):
+    import shutil
+    fasta = tmp_path / "small_sequence.fa"
+    shutil.copy(example_data / "small_sequence.fa", fasta)
+    genome = Genome.from_file(str(fasta))
+    assert list(genome.get_genome_context().chrom_sizes.keys()) == \
+        ["chr1", "chr2", "chr3"]
+    seq = genome.read_sequence()
+    chrom1 = seq["chr1"]
+    assert len(chrom1) == genome.get_genome_context().chrom_sizes["chr1"]
+
+
+def test_read_intervals_and_annotation(example_data):
+    genome = Genome.from_file(str(example_data / "small.chrom.sizes"))
+    # use intervals on the same contig naming
+    intervals = genome.read_intervals(str(example_data /
+                                          "small_summits.bed"))
+    assert len(intervals) > 0
+    merged = intervals.merged()
+    assert len(merged) <= len(intervals)
+
+
+def test_streamed_pileup_matches_full(genome, intervals):
+    gi_full = genome.get_intervals(intervals)
+    full_pileup = gi_full.get_pileup()
+    streamed = gi_full.as_stream().get_pileup()
+    streamed_computed = streamed.compute()
+    np.testing.assert_array_equal(full_pileup["chr1"].to_array(),
+                                  streamed_computed["chr1"].to_array())
+    np.testing.assert_array_equal(full_pileup["chr2"].to_array(),
+                                  streamed_computed["chr2"].to_array())
+
+
+def test_binned_genome(genome):
+    binned = BinnedGenome(genome.get_genome_context(), bin_size=5)
+    binned.count(LocationEntry(["chr1", "chr1", "chr2"], [1, 7, 3]))
+    np.testing.assert_array_equal(binned["chr1"], [1, 1, 0, 0])
+    np.testing.assert_array_equal(binned["chr2"], [1, 0])
+
+
+def test_map_locations(genome):
+    from bionumpy_tpu.datatypes import NamedInterval
+    intervals = NamedInterval(["chr1", "chr1"], [5, 12], [11, 18],
+                              ["a", "b"])
+    gi = genome.get_intervals(intervals)
+    locations = LocationEntry(["chr1", "chr1"], [6, 13])
+    mapped = gi.map_locations(locations)
+    assert mapped.chromosome.tolist() == ["a", "b"]
+    np.testing.assert_array_equal(mapped.position, [1, 1])
