@@ -38,30 +38,47 @@ __all__ = [
 ]
 
 
-def _late_imports():
-    """Populate the full user API; called at the end of module import once
-    the io/sequence layers exist (mirrors bionumpy/__init__.py:9-35)."""
-    global open, bnp_open, read, count_entries, open_indexed
-    global get_kmers, count_kmers, get_minimizers, get_reverse_complement
-    global get_motif_scores, translate_dna_to_protein, count_encoded
-    global EncodedCounts, PWM, match_string, MultiStream, groupby
-    global Genome, compute, streamable, mean, bincount, histogram, quantile
-    from .io import bnp_open, count_entries, open_indexed, read
-    open = bnp_open
-    from .sequence import (count_encoded, count_kmers, get_kmers,
-                           get_minimizers, get_motif_scores,
-                           get_reverse_complement, match_string,
-                           translate_dna_to_protein)
-    from .sequence.count_encoded import EncodedCounts
-    from .sequence.position_weight_matrix import PWM
-    from .streams import (MultiStream, groupby, streamable, mean, bincount,
-                          histogram, quantile)
-    from .computation_graph import compute
-    from .genomic_data import Genome
+from .io import (Bed6Buffer, BedBuffer, FastQBuffer, GfaSequenceBuffer,
+                 MultiLineFastaBuffer, NarrowPeakBuffer, TwoLineFastaBuffer,
+                 bnp_open, count_entries, get_bufferclass_for_datatype,
+                 open_indexed, read)
+from .sequence import (EncodedCounts, count_encoded, count_kmers, get_kmers,
+                       get_minimizers, get_motif_scores,
+                       get_reverse_complement, match_string,
+                       translate_dna_to_protein)
+from .sequence.position_weight_matrix import PWM
+from .streams import (MultiStream, bincount, groupby, histogram, mean,
+                      quantile, streamable)
+from .datatypes import (BamEntry, Bed6, GFFEntry, Interval, LocationEntry,
+                        SAMEntry, SequenceEntry, SequenceEntryWithQuality,
+                        VCFEntry)
+from . import datatypes
+from .bnpdataclass import replace
+from .io.strops import str_equal
+from .computation_graph import compute
+from . import arithmetics
+from . import alignments
+from . import variants
+from . import simulate
+from .genomic_data import Genome, GenomicArray, GenomicIntervals
+from .io.matrix_dump import Matrix
+from .cli import CliWrapper, run_as_commandline
+from .plotting import plot
 
+open = bnp_open
 
-try:
-    _late_imports()
-except ImportError:
-    # during bootstrap some layers may not exist yet
-    pass
+__all__ += [
+    "open", "bnp_open", "read", "count_entries", "open_indexed",
+    "get_kmers", "count_kmers", "get_minimizers", "get_motif_scores",
+    "get_reverse_complement", "translate_dna_to_protein", "count_encoded",
+    "match_string", "EncodedCounts", "PWM", "MultiStream", "groupby",
+    "streamable", "mean", "bincount", "histogram", "quantile", "replace",
+    "str_equal", "compute", "Genome", "GenomicArray", "GenomicIntervals",
+    "Matrix", "plot", "Interval", "SequenceEntry",
+    "SequenceEntryWithQuality", "VCFEntry", "BamEntry", "SAMEntry",
+    "Bed6", "GFFEntry", "LocationEntry", "arithmetics", "alignments",
+    "variants", "simulate", "CliWrapper", "run_as_commandline",
+    "get_bufferclass_for_datatype", "TwoLineFastaBuffer", "FastQBuffer",
+    "MultiLineFastaBuffer", "BedBuffer", "Bed6Buffer", "NarrowPeakBuffer",
+    "GfaSequenceBuffer",
+]

@@ -111,9 +111,11 @@ class GenomicLocationGlobal(GenomicLocation):
             "specify exactly one of flank/window_size"
         if flank is None:
             flank_left = window_size // 2
-            flank_right = window_size - flank_left
+            flank_right = window_size // 2 + window_size % 2
         else:
-            flank_left = flank_right = flank
+            # full window is flank*2 + 1 wide, centered on the position
+            flank_left = flank
+            flank_right = flank + 1
         position = np.asarray(self.position)
         starts = position - flank_left
         stops = position + flank_right

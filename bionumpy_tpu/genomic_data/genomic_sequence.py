@@ -103,7 +103,14 @@ class GenomicSequenceDict(GenomicSequence):
     extract_chromosome = extract_chromsome
 
     def _extract_intervals(self, intervals):
-        names = intervals.chromosome.tolist()
+        from ..encodings.string_encodings import StringEncoding
+        chrom = intervals.chromosome
+        if hasattr(chrom, "encoding") and \
+                isinstance(chrom.encoding, StringEncoding):
+            labels = chrom.encoding.get_labels()
+            names = [labels[int(c)] for c in np.asarray(chrom.raw())]
+        else:
+            names = chrom.tolist()
         starts = np.asarray(intervals.start)
         stops = np.asarray(intervals.stop)
         rows = [self._dict[str(names[i])][int(starts[i]): int(stops[i])]

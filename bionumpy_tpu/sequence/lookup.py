@@ -10,11 +10,15 @@ class Lookup:
         self._encoding = encoding
 
     def _translate(self, idx):
+        from ..ragged import RaggedArray
         if isinstance(idx, tuple):
             return tuple(self._translate(i) for i in idx)
         if isinstance(idx, slice) or idx is Ellipsis:
             return idx
-        return as_encoded_array(idx, self._encoding).raw()
+        raw = as_encoded_array(idx, self._encoding).raw()
+        if isinstance(raw, RaggedArray):
+            raw = raw.ravel()
+        return raw
 
     def __getitem__(self, idx):
         return self._values[self._translate(idx)]

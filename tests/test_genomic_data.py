@@ -66,7 +66,7 @@ def test_locations_and_windows(genome):
     locs = genome.get_locations(LocationEntry(["chr1", "chr2"], [3, 2]))
     windows = locs.get_windows(flank=4)
     np.testing.assert_array_equal(windows.start, [0, 0])
-    np.testing.assert_array_equal(windows.stop, [7, 6])
+    np.testing.assert_array_equal(windows.stop, [8, 7])
 
 
 def test_global_offset():
