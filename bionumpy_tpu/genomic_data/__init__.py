@@ -9,6 +9,7 @@ from .genomic_sequence import GenomicSequence
 from .genomic_track import (GenomicArray, GenomicArrayGlobal,
                             GenomicArrayNode, GenomicData)
 from .global_offset import GlobalOffset
+from .geometry import Geometry, StreamedGeometry
 
 __all__ = ["Genome", "GenomeContext", "GenomeError", "GlobalOffset",
            "GenomicArray", "GenomicArrayGlobal", "GenomicArrayNode",
@@ -16,4 +17,4 @@ __all__ = ["Genome", "GenomeContext", "GenomeError", "GlobalOffset",
            "GenomicIntervalsStreamed", "GenomicLocation",
            "GenomicLocationGlobal", "GenomicSequence",
            "GenomicAnnotation", "Genes", "Transcripts", "Exons",
-           "BinnedGenome"]
+           "BinnedGenome", "Geometry", "StreamedGeometry"]

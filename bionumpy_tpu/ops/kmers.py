@@ -145,13 +145,14 @@ def kmer_checksum_pipeline(codes_padded: jnp.ndarray, lengths: jnp.ndarray,
 
 def prepare_codes(flat_codes: np.ndarray, lengths: np.ndarray,
                   min_bucket: int = 1 << 14):
-    """Host-side: pad flat codes + distance-to-row-end into a bucket with
-    32 halo bases so every window read stays in bounds."""
+    """Host-side: pad flat codes + distance-to-row-end into a power-of-two
+    position bucket (multiple of 1024, so the Pallas grid tiles evenly)
+    plus 32 halo bases so every window read stays in bounds."""
     from .device import bucket_size, distance_to_row_end
     n = len(flat_codes)
-    size = bucket_size(n + 2 * WORD_BASES, min_bucket)
-    codes = np.zeros(size, dtype=np.uint8)
+    n_positions = bucket_size(max(n, 1), min_bucket)
+    codes = np.zeros(n_positions + 2 * WORD_BASES, dtype=np.uint8)
     codes[:n] = flat_codes
-    dist = np.zeros(size - 2 * WORD_BASES, dtype=np.int32)
+    dist = np.zeros(n_positions, dtype=np.int32)
     dist[:n] = distance_to_row_end(lengths)
     return codes, dist, n

@@ -1,0 +1,28 @@
+"""Pallas kernel parity vs the XLA path (runs in interpreter mode on the
+CPU test mesh; the same kernel is validated compiled on real TPU)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+@pytest.mark.parametrize("k", [3, 16, 21, 31])
+def test_pallas_kernel_matches_xla(k):
+    from jax.experimental.pallas import tpu as pltpu
+
+    from bionumpy_tpu.ops.kmers import kmer_hashes_masked, prepare_codes
+    from bionumpy_tpu.ops.pallas_kmers import pallas_kmer_hashes
+
+    rng = np.random.default_rng(0)
+    lengths = rng.integers(0, 120, 300)
+    flat = rng.integers(0, 4, lengths.sum()).astype(np.uint8)
+    codes, dist, n = prepare_codes(flat, lengths, min_bucket=1 << 14)
+    lo1, hi1, v1 = kmer_hashes_masked(jnp.asarray(codes),
+                                      jnp.asarray(dist), k)
+    with pltpu.force_tpu_interpret_mode():
+        lo2, hi2, v2 = pallas_kmer_hashes(jnp.asarray(codes),
+                                          jnp.asarray(dist), k)
+    np.testing.assert_array_equal(np.asarray(lo1), np.asarray(lo2))
+    np.testing.assert_array_equal(np.asarray(hi1), np.asarray(hi2))
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
