@@ -25,6 +25,6 @@ jax.config.update("jax_platforms", "cpu")
 EXAMPLE_DATA = pathlib.Path("/root/reference/example_data")
 
 
-@pytest.fixture
+@pytest.fixture(scope="session")
 def example_data():
     return EXAMPLE_DATA
