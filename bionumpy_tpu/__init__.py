@@ -67,6 +67,16 @@ from .plotting import plot
 
 open = bnp_open
 
+
+def set_backend(lib):
+    """The reference swaps numpy for cupy via module monkey-patching
+    (bionumpy/__init__.py:47-95).  This build is JAX/TPU-native from the
+    ground up — there is no backend to swap."""
+    raise NotImplementedError(
+        "bionumpy_tpu is JAX/TPU-native; compute already runs on the "
+        "accelerator and there is no numpy/cupy backend to swap. "
+        "Control device selection with JAX_PLATFORMS instead.")
+
 __all__ += [
     "open", "bnp_open", "read", "count_entries", "open_indexed",
     "get_kmers", "count_kmers", "get_minimizers", "get_motif_scores",

@@ -379,6 +379,12 @@ def bnpdataclass(base_class: type) -> Type[BNPDataClass]:
     return cls
 
 
+def shallow_tuple(obj: BNPDataClass) -> tuple:
+    """Module-level form of BNPDataClass.shallow_tuple (reference:
+    npstructures.npdataclasses.shallow_tuple)."""
+    return obj.shallow_tuple()
+
+
 def make_dataclass(fields: List[Tuple], name: str = "DynamicDC",
                    bases=()) -> Type[BNPDataClass]:
     """Dynamic record types (CSV headers, VCF INFO) — reference:

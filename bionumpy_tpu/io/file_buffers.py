@@ -179,7 +179,10 @@ class FileBuffer:
         if sep == "":
             flat = text.ravel().raw().astype(np.int64) - ord("0")
             return RaggedArray(flat, text.lengths)
-        # rows may carry a trailing separator (bed12 block lists); trim it
+        # the text arrives with keep_sep=True (one trailing field
+        # delimiter); drop it, then trim a trailing value separator
+        # (bed12 block lists end with ',')
+        text = text[:, :-1]
         lengths = text.lengths
         if len(text) and int(lengths.sum()):
             nonzero = lengths > 0
@@ -193,6 +196,18 @@ class FileBuffer:
         return _split_rows_to_int_lists(text, sep)
 
     def _parse_split_floats(self, text: EncodedRaggedArray, sep: str = ","):
+        # same keep_sep/trailing-separator handling as _parse_split_ints
+        text = text[:, :-1]
+        lengths = text.lengths
+        if len(text) and int(lengths.sum()):
+            nonzero = lengths > 0
+            last_chars = np.zeros(len(text), dtype=np.uint8)
+            last_chars[nonzero] = text.ravel().raw()[text.ends[nonzero] - 1]
+            trailing = nonzero & (last_chars == ord(sep))
+            if np.any(trailing):
+                text = EncodedRaggedArray(
+                    text.ravel(), RaggedView(text.starts,
+                                             lengths - trailing))
         return _split_rows_to_float_lists(text, sep)
 
     @classmethod

@@ -144,14 +144,14 @@ class VCFBuffer(DelimitedBuffer):
 
     def _make_vcf_dataclass(self):
         cache = self.__class__.vcfentry_cache
-        header_data = self.header_data
-        if header_data in cache:
-            return cache[header_data][0]
-        info_class = str if not header_data or "##INFO" not in header_data \
-            else self.info_dataclass
+        key = (self.dataclass, self.header_data)
+        if key in cache:
+            return cache[key][0]
+        info_class = str if not self.header_data or \
+            "##INFO" not in self.header_data else self.info_dataclass
         vcf_entry = narrow_type(self.dataclass, "info", info_class)
-        cache[header_data] = (vcf_entry, create_lazy_class(vcf_entry))
-        return cache[header_data][0]
+        cache[key] = (vcf_entry, create_lazy_class(vcf_entry))
+        return cache[key][0]
 
     @property
     def _lazy_info_class(self):
