@@ -23,28 +23,10 @@ from .file_buffers import FileBuffer
 
 def find_bam_record_starts(chunk: np.ndarray) -> np.ndarray:
     """All record start offsets <= len(chunk), following the recurrence
-    start' = start + 4 + block_len(start)."""
-    n = len(chunk)
-    if n < 4:
-        return np.array([0], dtype=np.int64)
-    padded = np.append(chunk, np.zeros(4, dtype=np.uint8))
-    le32 = (padded[:-3].astype(np.int64)
-            | (padded[1:-2].astype(np.int64) << 8)
-            | (padded[2:-1].astype(np.int64) << 16)
-            | (padded[3:].astype(np.int64) << 24))
-
-    starts = [0]
-    pos = 0
-    # python loop but with O(#records) iterations of O(1) work; vectorized
-    # pointer-doubling is possible but the jump table is data-dependent.
-    while pos + 4 <= n:
-        block = le32[pos]
-        nxt = pos + 4 + block
-        starts.append(nxt)
-        if nxt <= pos:
-            raise ValueError("corrupt BAM block length")
-        pos = nxt
-    return np.array([s for s in starts if s <= n], dtype=np.int64)
+    start' = start + 4 + block_len(start).  Delegates to the native C++
+    scanner (csrc/host_kernels.cpp) with a numpy fallback."""
+    from ..native import bam_find_starts
+    return bam_find_starts(np.asarray(chunk))
 
 
 class BamBufferExtractor:

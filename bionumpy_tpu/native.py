@@ -1,0 +1,108 @@
+"""ctypes bindings for the native host kernels (csrc/host_kernels.cpp).
+
+Built on demand with g++; every entry point has a pure-numpy fallback so
+the package works without a compiler."""
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+_LIB_PATH = os.path.join(os.path.dirname(__file__), "_host_kernels.so")
+_SRC_PATH = os.path.join(os.path.dirname(__file__), os.pardir, "csrc",
+                         "host_kernels.cpp")
+_lib = None
+_tried = False
+
+
+def _load():
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_LIB_PATH) and os.path.exists(_SRC_PATH):
+        try:
+            subprocess.run(["g++", "-O3", "-shared", "-fPIC", "-o",
+                            _LIB_PATH, _SRC_PATH], check=True,
+                           capture_output=True)
+        except Exception as e:
+            logger.info("could not build native kernels: %s", e)
+            return None
+    if not os.path.exists(_LIB_PATH):
+        return None
+    lib = ctypes.CDLL(_LIB_PATH)
+    lib.bam_find_starts.restype = ctypes.c_long
+    lib.bam_find_starts.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+        ctypes.POINTER(ctypes.c_long), ctypes.c_long]
+    lib.pack_2bit.restype = None
+    lib.pack_2bit.argtypes = [ctypes.POINTER(ctypes.c_uint8),
+                              ctypes.c_long,
+                              ctypes.POINTER(ctypes.c_uint8)]
+    _lib = lib
+    return _lib
+
+
+def has_native() -> bool:
+    return _load() is not None
+
+
+def bam_find_starts(chunk: np.ndarray) -> np.ndarray:
+    """All BAM record start offsets <= len(chunk), starting at 0."""
+    lib = _load()
+    chunk = np.ascontiguousarray(chunk, dtype=np.uint8)
+    if lib is None:
+        return _bam_find_starts_py(chunk)
+    max_starts = len(chunk) // 4 + 2
+    starts = np.empty(max_starts, dtype=np.int64)
+    count = lib.bam_find_starts(
+        chunk.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        len(chunk),
+        starts.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        max_starts)
+    if count < 0:
+        raise ValueError("corrupt BAM block length")
+    return starts[:count]
+
+
+def _bam_find_starts_py(chunk: np.ndarray) -> np.ndarray:
+    n = len(chunk)
+    if n < 4:
+        return np.array([0], dtype=np.int64)
+    padded = np.append(chunk, np.zeros(4, dtype=np.uint8))
+    le32 = (padded[:-3].astype(np.int64)
+            | (padded[1:-2].astype(np.int64) << 8)
+            | (padded[2:-1].astype(np.int64) << 16)
+            | (padded[3:].astype(np.int64) << 24))
+    starts = [0]
+    pos = 0
+    while pos + 4 <= n:
+        nxt = pos + 4 + int(le32[pos])
+        if nxt <= pos:
+            raise ValueError("corrupt BAM block length")
+        if nxt > n:
+            break
+        starts.append(nxt)
+        pos = nxt
+    return np.array(starts, dtype=np.int64)
+
+
+def pack_2bit(codes: np.ndarray) -> np.ndarray:
+    """4 codes/byte little-endian pack; len(codes) must be a multiple
+    of 4."""
+    lib = _load()
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    assert len(codes) % 4 == 0
+    if lib is None:
+        return (codes[0::4] | (codes[1::4] << 2) | (codes[2::4] << 4)
+                | (codes[3::4] << 6))
+    out = np.empty(len(codes) // 4, dtype=np.uint8)
+    lib.pack_2bit(codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                  len(codes),
+                  out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return out

@@ -127,12 +127,11 @@ def pack_codes_host(flat_codes: np.ndarray, n_positions: int) -> np.ndarray:
     """Host-side 2-bit pack: 4 codes/byte then a uint32 view — the upload
     is 4x smaller than raw codes.  Layout matches pack_2bit exactly
     (little-endian 2-bit within little-endian bytes)."""
+    from ..native import pack_2bit as native_pack
     total = n_positions + 2 * WORD_BASES
     padded = np.zeros(total, dtype=np.uint8)
     padded[: len(flat_codes)] = flat_codes
-    p4 = (padded[0::4] | (padded[1::4] << 2) | (padded[2::4] << 4)
-          | (padded[3::4] << 6))
-    return np.ascontiguousarray(p4).view(np.uint32)
+    return native_pack(padded).view(np.uint32)
 
 
 @partial(jax.jit, static_argnames=("k", "n_true"))
