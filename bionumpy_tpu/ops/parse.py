@@ -1,0 +1,125 @@
+"""Device-resident FASTQ parsing: the newline scan, field-span
+extraction and encoding run under jit on TPU; only raw file bytes cross
+the host->device link.
+
+This is the device twin of the host parser (bionumpy_tpu/io): the jitted
+scan produces static-shape line-span arrays (jnp.flatnonzero with a
+static `size` + fill), so one compiled program serves every chunk of the
+same bucket size.  Composed with the rolling-hash kernel it gives the
+fully device-resident bytes->kmer-counts pipeline of the north star.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEWLINE = 10
+
+
+@partial(jax.jit, static_argnames=("max_lines",))
+def fastq_scan(raw: jnp.ndarray, n_true: jnp.ndarray, max_lines: int):
+    """Scan raw FASTQ bytes (padded, uint8) into per-line spans.
+
+    Returns (line_starts, line_ends, n_lines, ok) where the arrays have
+    static length `max_lines` (filled with n_true beyond the real lines)
+    and ok verifies the '@'/'+' structure of every complete entry."""
+    n = raw.shape[0]
+    positions = jnp.arange(n)
+    is_nl = (raw == NEWLINE) & (positions < n_true)
+    line_ends = jnp.flatnonzero(is_nl, size=max_lines, fill_value=n)
+    line_starts = jnp.concatenate([jnp.zeros(1, line_ends.dtype),
+                                   line_ends[:-1] + 1])
+    n_lines = is_nl.sum()
+    line_idx = jnp.arange(max_lines)
+    real = line_idx < n_lines
+    # entry structure: line 4i starts with '@', line 4i+2 with '+'
+    first_byte = raw[jnp.minimum(line_starts, n - 1)]
+    is_header_line = (line_idx % 4 == 0) & real
+    is_plus_line = (line_idx % 4 == 2) & real
+    ok = jnp.all(jnp.where(is_header_line, first_byte == ord("@"), True)) \
+        & jnp.all(jnp.where(is_plus_line, first_byte == ord("+"), True))
+    return line_starts, line_ends, n_lines, ok
+
+
+@partial(jax.jit, static_argnames=("max_lines", "k", "n_counts"))
+def fastq_to_kmer_counts(raw: jnp.ndarray, encode_lut: jnp.ndarray,
+                         n_true: jnp.ndarray, max_lines: int, k: int,
+                         n_counts: int):
+    """Raw FASTQ bytes -> (kmer counts over 4^k, composition over 4,
+    n_entries, ok): everything on device.
+
+    Sequence-line spans become a validity mask via boundary scatters
+    (start +1 at seq_start, -1 at max(seq_end-k+1, seq_start)); the
+    rolling hash runs over the LUT-encoded raw buffer, masked to
+    in-sequence windows."""
+    from .kmers import kmer_hash_limbs
+
+    n = raw.shape[0]
+    line_starts, line_ends, n_lines, ok = fastq_scan(raw, n_true,
+                                                     max_lines)
+    n_entries = n_lines // 4
+    max_entries = max_lines // 4
+    entry_idx = jnp.arange(max_entries)
+    real_entry = entry_idx < n_entries
+    seq_starts = jnp.where(real_entry, line_starts[1::4], n)
+    seq_ends = jnp.where(real_entry, line_ends[1::4], n)
+
+    # encode every byte; invalid bytes (headers, quality, N) map to 0
+    # and are excluded below
+    raw_codes = jnp.take(encode_lut, raw.astype(jnp.int32))
+    invalid_byte = raw_codes == 255
+    codes = jnp.where(invalid_byte, 0, raw_codes)
+    # hash every position (padded halo of 32 is part of the bucket)
+    lo, _ = kmer_hash_limbs(
+        jnp.concatenate([codes, jnp.zeros(32, codes.dtype)]), k)
+    lo = lo[:n]
+
+    # window-validity from spans
+    marks = jnp.zeros(n + 1, jnp.int32)
+    marks = marks.at[seq_starts].add(1)
+    window_ends = jnp.maximum(seq_ends - (k - 1), seq_starts)
+    marks = marks.at[window_ends].add(-1)
+    valid = jnp.cumsum(marks[:-1]) > 0
+    # drop windows containing a non-ACGT byte inside a sequence span
+    base_marks0 = jnp.zeros(n + 1, jnp.int32)
+    base_marks0 = base_marks0.at[seq_starts].add(1)
+    base_marks0 = base_marks0.at[seq_ends].add(-1)
+    in_seq0 = jnp.cumsum(base_marks0[:-1]) > 0
+    bad_base = invalid_byte & in_seq0
+    bad_cum = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                               jnp.cumsum(bad_base.astype(jnp.int32))])
+    window_bad = (bad_cum[jnp.minimum(jnp.arange(n) + k, n)] -
+                  bad_cum[: n]) > 0
+    valid = valid & ~window_bad
+
+    indices = jnp.where(valid, lo.astype(jnp.int32), n_counts)
+    counts = jnp.zeros(n_counts + 1, jnp.int32).at[indices].add(1)[:-1]
+
+    comp_idx = jnp.where(in_seq0 & ~invalid_byte,
+                         codes.astype(jnp.int32), 4)
+    composition = jnp.zeros(5, jnp.int32).at[comp_idx].add(1)[:-1]
+    return counts, composition, n_entries, ok
+
+
+def parse_fastq_chunk_on_device(raw_bytes: np.ndarray, k: int = 5,
+                                min_bucket: int = 1 << 14):
+    """Host wrapper: pad raw bytes into a bucket and run the device
+    pipeline.  Returns (counts, composition, n_entries)."""
+    from ..encodings import DNAEncoding
+    from .device import bucket_size
+
+    n = len(raw_bytes)
+    size = bucket_size(max(n, 1), min_bucket)
+    padded = np.zeros(size, dtype=np.uint8)
+    padded[:n] = raw_bytes
+    max_lines = size // 2  # '+\n' lines are 2 bytes, the shortest line
+    counts, comp, n_entries, ok = fastq_to_kmer_counts(
+        jnp.asarray(padded), jnp.asarray(DNAEncoding.lookup_table),
+        jnp.asarray(n, dtype=jnp.int32), max_lines, k, 4 ** k)
+    if not bool(np.asarray(ok)):
+        raise ValueError("malformed FASTQ chunk (device scan)")
+    return (np.asarray(counts), np.asarray(comp),
+            int(np.asarray(n_entries)))
