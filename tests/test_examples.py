@@ -114,3 +114,11 @@ def test_mutation_signature_example(example_data, tmp_path):
     vcf_path.write_text("\n".join(vcf_lines) + "\n")
     counts = count_signatures(str(vcf_path), str(fasta))
     assert counts.counts.sum() == len(positions)
+
+
+def test_fastqc_example(example_data):
+    from fastqc import quality_stats
+    mean_quality, gc = quality_stats(str(example_data / "big.fq.gz"))
+    assert len(gc) == 1000
+    assert 0 < mean_quality[0] < 42
+    assert 0.2 < gc.mean() < 0.8
