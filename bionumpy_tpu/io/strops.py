@@ -100,7 +100,33 @@ def str_to_int(number_text, is_negative=None, is_positive=None) -> np.ndarray:
     return np.asarray(values) * np.where(is_negative, -1, 1)
 
 
-def _decimal_str_to_float(number_text: EncodedRaggedArray) -> np.ndarray:
+def _scale_by_pow10(values: np.ndarray, exps: np.ndarray) -> np.ndarray:
+    """values * 10**exps with one rounding step where possible.
+
+    For |exp| <= 22 both the power of ten and (for typical mantissas) the
+    operand are exact doubles, so a single multiply/divide is correctly
+    rounded — this is what makes ``str(x)`` round-trip bit-exactly, which
+    the reference's two-step scaling does not guarantee (its own property
+    test is xfailed, reference: tests/property_tests/test_strops.py:41-50).
+    """
+    values = np.asarray(values, dtype=float)
+    out = np.empty_like(values)
+    pos = exps >= 0
+    if np.any(pos):
+        e = exps[pos]
+        first = np.minimum(e, 290)
+        out[pos] = values[pos] * 10.0 ** first * 10.0 ** (e - first)
+    if not np.all(pos):
+        neg = ~pos
+        e = -exps[neg]
+        first = np.minimum(e, 290)
+        out[neg] = values[neg] / 10.0 ** first / 10.0 ** (e - first)
+    return out
+
+
+def _decimal_mantissa_and_exp(number_text: EncodedRaggedArray):
+    """Signed digits (ignoring the dot) as an integer-valued float, plus
+    the implied decimal exponent (-count of digits after the dot)."""
     lengths = number_text.lengths
     flat = number_text.ravel().raw().copy()
     starts = number_text.starts
@@ -132,17 +158,22 @@ def _decimal_str_to_float(number_text: EncodedRaggedArray) -> np.ndarray:
     exponents = np.zeros(len(lengths), dtype=np.int64)
     exponents[dot_rows] = lengths[dot_rows] - dot_cols - 1
     signs = np.where(is_negative, -1.0, 1.0)
-    return signs * base / 10.0 ** exponents
+    return signs * base, -exponents
+
+
+def _decimal_str_to_float(number_text: EncodedRaggedArray) -> np.ndarray:
+    mantissa, exps = _decimal_mantissa_and_exp(number_text)
+    return _scale_by_pow10(mantissa, exps)
 
 
 def _scientific_str_to_float(number_text: EncodedRaggedArray) -> np.ndarray:
     marker = (number_text == "e") | (number_text == "E")
     rows, cols = np.nonzero(marker)
     decimal_text = ragged_slice(number_text, ends=cols)
-    decimal_numbers = _decimal_str_to_float(decimal_text)
+    mantissa, dec_exps = _decimal_mantissa_and_exp(decimal_text)
     power_text = ragged_slice(number_text, starts=cols + 1)
     powers = str_to_int(power_text)
-    return decimal_numbers * 10.0 ** powers
+    return _scale_by_pow10(mantissa, dec_exps + powers)
 
 
 def str_to_float(number_text) -> np.ndarray:
@@ -194,15 +225,19 @@ def ints_to_strings(number) -> EncodedRaggedArray:
     bionumpy/io/strops.py:186-215)."""
     number = np.asarray(number).astype(np.int64).ravel()
     is_negative = number < 0
-    abs_num = np.abs(number)
-    n_digits = np.log10(np.maximum(abs_num, 1)).astype(np.int64) + 1
-    # correct rare float-log rounding at exact powers of ten
-    too_small = abs_num >= 10 ** n_digits
-    n_digits += too_small
+    # uint64 absolutes: |int64 min| and 10**19 both exceed int64 but fit uint64
+    abs_num = np.where(is_negative, -number.view(np.uint64),
+                       number.view(np.uint64))
+    # digit count by threshold comparison (log10 rounds wrong near 2**63 and
+    # 10**n_digits overflows int64 for 19-digit values)
+    thresholds = np.array([10 ** p for p in range(1, 20)], dtype=np.uint64)
+    n_digits = np.searchsorted(thresholds, abs_num, side="right") + 1
     lengths = n_digits + is_negative
     cols = _column_indices(lengths)
     powers = np.repeat(lengths, lengths) - 1 - cols
-    digits = np.repeat(abs_num, lengths) // 10 ** powers % 10
+    pow10 = np.array([10 ** p for p in range(20)],
+                     dtype=np.uint64)[np.minimum(powers, 19)]
+    digits = np.repeat(abs_num, lengths) // pow10 % np.uint64(10)
     flat = (digits + ord("0")).astype(np.uint8)
     out = EncodedRaggedArray(EncodedArray(flat, BaseEncoding), lengths)
     if np.any(is_negative):
