@@ -84,11 +84,10 @@ class Genome:
     # -- intervals ------------------------------------------------------------
     def get_intervals(self, intervals,
                       stranded: bool = False) -> GenomicIntervals:
-        if not isinstance(intervals, BNPDataClass) and \
-                hasattr(intervals, "__iter__") and \
-                not hasattr(intervals, "start"):
-            return GenomicIntervals.from_interval_stream(
-                intervals, self._genome_context, is_stranded=stranded)
+        # NOTE: never probe stream attributes here — a hasattr() on a
+        # one-look-ahead NpDataclassStream consumes a chunk.  from_intervals
+        # dispatches full-vs-stream itself (reference:
+        # bionumpy/genomic_data/genome.py:209).
         return GenomicIntervals.from_intervals(
             intervals, self._genome_context, is_stranded=stranded)
 

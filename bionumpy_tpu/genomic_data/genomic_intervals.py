@@ -9,7 +9,7 @@ import numpy as np
 from ..arithmetics.intervals import (RawInterval, clip, extend_to_size,
                                      get_boolean_mask, get_pileup,
                                      merge_intervals)
-from ..bnpdataclass import replace
+from ..bnpdataclass import BNPDataClass, replace
 from ..computation_graph import ComputationNode, Node, StreamNode
 from ..datatypes import (Bed6, Interval, LocationEntry, StrandedInterval,
                          StrandedLocationEntry)
@@ -140,6 +140,12 @@ class GenomicIntervals(GenomicPlace):
     def from_intervals(cls, intervals, genome_context,
                        is_stranded: Optional[bool] = None
                        ) -> "GenomicIntervalsFull":
+        if not isinstance(intervals, BNPDataClass):
+            # a chunk stream (reference dispatches the same way:
+            # bionumpy/genomic_data/genomic_intervals.py:585-588)
+            return cls.from_interval_stream(
+                intervals, genome_context,
+                is_stranded=bool(is_stranded))
         if is_stranded is None:
             is_stranded = hasattr(intervals, "strand")
         intervals = genome_context.mask_data(intervals)

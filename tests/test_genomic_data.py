@@ -137,3 +137,29 @@ def test_map_locations(genome):
     mapped = gi.map_locations(locations)
     assert mapped.chromosome.tolist() == ["a", "b"]
     np.testing.assert_array_equal(mapped.position, [1, 1])
+
+
+def test_read_intervals_stream_matches_full(example_data):
+    # stream=True must route a chunk stream through from_interval_stream
+    # without any attribute probe consuming chunks (a hasattr() on a
+    # one-look-ahead NpDataclassStream eats its first chunk)
+    import bionumpy_tpu as bnp
+    genome = bnp.Genome.from_file(example_data / "chr21-22.chrom.sizes")
+    bed = str(example_data / "ctcf_chr21-22.bed.gz")
+    full = genome.read_intervals(bed).get_pileup()
+    streamed = genome.read_intervals(bed, stream=True).get_pileup()
+    full_mean = float(np.asarray(np.mean(full, axis=None)))
+    stream_mean = float(np.asarray(bnp.compute(np.mean(streamed, axis=None))))
+    assert np.isclose(full_mean, stream_mean)
+    assert full_mean > 0
+
+
+def test_read_track_stream_matches_full(example_data):
+    import bionumpy_tpu as bnp
+    genome = bnp.Genome.from_dict({"chr1": 20000})
+    bdg = str(example_data / "small.bdg")
+    s_stream = float(np.asarray(bnp.compute(
+        np.sum(genome.read_track(bdg, stream=True)))))
+    s_full = float(np.asarray(np.sum(genome.read_track(bdg))))
+    assert np.isclose(s_stream, s_full)
+    assert s_full > 0
