@@ -88,7 +88,16 @@ class RawInterval:
 
 def get_pileup(intervals, chromosome_size: int) -> GenomicRunLengthArray:
     """Coverage depth per position via event sort + ±1 cumsum
-    (reference flat algorithm: bionumpy/arithmetics/bedgraph.py:22-34)."""
+    (reference flat algorithm: bionumpy/arithmetics/bedgraph.py:22-34).
+
+    Examples
+    --------
+    >>> from bionumpy_tpu.arithmetics import get_pileup
+    >>> from bionumpy_tpu.datatypes import Interval
+    >>> depth = get_pileup(Interval(["chr1", "chr1"], [0, 8], [10, 20]), 22)
+    >>> depth.to_array().astype(int)
+    array([1, 1, 1, 1, 1, 1, 1, 1, 2, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0])
+    """
     if len(intervals) == 0:
         return GenomicRunLengthArray(
             np.array([0, chromosome_size], dtype=np.int64),
@@ -109,7 +118,17 @@ def get_pileup(intervals, chromosome_size: int) -> GenomicRunLengthArray:
 
 def get_boolean_mask(intervals, chromosome_size: int):
     """Boolean RLE mask of positions covered by any interval
-    (reference: bionumpy/arithmetics/intervals.py:166-221)."""
+    (reference: bionumpy/arithmetics/intervals.py:166-221).
+
+    Examples
+    --------
+    >>> from bionumpy_tpu.arithmetics import get_boolean_mask
+    >>> from bionumpy_tpu.datatypes import Interval
+    >>> mask = get_boolean_mask(Interval(["chr1"], [5], [12]), 15)
+    >>> mask.to_array()
+    array([False, False, False, False, False,  True,  True,  True,  True,
+            True,  True,  True, False, False, False])
+    """
     stops = np.asarray(intervals.stop)
     assert len(intervals) == 0 or np.all(stops <= chromosome_size)
     if len(intervals) == 0:
@@ -168,7 +187,17 @@ def fast_sort_intervals(intervals):
 @streamable()
 def merge_intervals(intervals, distance: int = 0):
     """Merge overlapping sorted intervals (reference:
-    bionumpy/arithmetics/intervals.py:271-304)."""
+    bionumpy/arithmetics/intervals.py:271-304).
+
+    Examples
+    --------
+    >>> from bionumpy_tpu.arithmetics import merge_intervals
+    >>> from bionumpy_tpu.datatypes import Interval
+    >>> merge_intervals(Interval(["chr1", "chr1"], [0, 8], [10, 20]))
+    Interval with 1 entries
+                   chromosome                    start                     stop
+                         chr1                        0                       20
+    """
     if len(intervals) == 0:
         return intervals
     starts = np.asarray(intervals.start)
@@ -198,7 +227,20 @@ def count_overlap(intervals_a, intervals_b) -> int:
 @streamable()
 def intersect(intervals_a, intervals_b):
     """Pairwise intersection of two sorted interval sets on one
-    chromosome (reference: bionumpy/arithmetics/intervals.py:318-326)."""
+    chromosome (reference: bionumpy/arithmetics/intervals.py:318-326).
+
+    Examples
+    --------
+    >>> from bionumpy_tpu.arithmetics import intersect
+    >>> from bionumpy_tpu.datatypes import Interval
+    >>> a = Interval(["chr1", "chr1"], [0, 8], [10, 20])
+    >>> b = Interval(["chr1"], [5], [12])
+    >>> intersect(a, b)
+    Interval with 2 entries
+                   chromosome                    start                     stop
+                         chr1                        5                       10
+                         chr1                        8                       12
+    """
     all_intervals = np.concatenate([intervals_a, intervals_b])
     all_intervals = all_intervals[
         np.argsort(np.asarray(all_intervals.start), kind="mergesort")]

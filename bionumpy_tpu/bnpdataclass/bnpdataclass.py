@@ -354,7 +354,21 @@ def _resolve_string_annotations(cls):
 
 def bnpdataclass(base_class: type) -> Type[BNPDataClass]:
     """Decorator: dataclass whose fields are coerced column arrays
-    (reference: bionumpy/bnpdataclass/bnpdataclass.py:274-413)."""
+    (reference: bionumpy/bnpdataclass/bnpdataclass.py:274-413).
+
+    Examples
+    --------
+    >>> from bionumpy_tpu.bnpdataclass import bnpdataclass
+    >>> @bnpdataclass
+    ... class Person:
+    ...     name: str
+    ...     age: int
+    >>> people = Person(["alice", "bob"], [30, 40])
+    >>> people[people.age > 35]
+    Person with 1 entries
+                         name                      age
+                          bob                       40
+    """
     if not issubclass(base_class, BNPDataClass):
         base_class = type(base_class.__name__, (base_class, BNPDataClass),
                           dict(base_class.__dict__))

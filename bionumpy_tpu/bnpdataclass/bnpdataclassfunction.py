@@ -3,6 +3,7 @@ bionumpy/bnpdataclass/bnpdataclassfunction.py:14-57)."""
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 
 def replace(obj, **kwargs):
@@ -19,6 +20,7 @@ def apply_to_npdataclass(attribute_name):
     """Decorator: apply a function to one field of a record batch, returning
     the batch with that field replaced."""
     def decorator(func):
+        @functools.wraps(func)
         def new_func(data, *args, **kwargs):
             if not dataclasses.is_dataclass(data) and \
                     not hasattr(data, "get_data_object"):

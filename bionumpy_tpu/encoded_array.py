@@ -421,7 +421,18 @@ def _list_of_encoded_arrays(array_list):
 
 def as_encoded_array(s, target_encoding: Encoding = None):
     """Convert str / List[str] / arrays to encoded arrays
-    (reference semantics: bionumpy/encoded_array.py:547-613)."""
+    (reference semantics: bionumpy/encoded_array.py:547-613).
+
+    Examples
+    --------
+    >>> import bionumpy_tpu as bnp
+    >>> bnp.as_encoded_array(["ACGT", "AC"])
+    encoded_ragged_array(['ACGT',
+     'AC'])
+    >>> bnp.as_encoded_array(["ACGT", "AC"], bnp.DNAEncoding)
+    encoded_ragged_array(['ACGT',
+     'AC'], AlphabetEncoding('ACGT'))
+    """
     if isinstance(s, (EncodedArray, EncodedRaggedArray)):
         if target_encoding is None or s.encoding == target_encoding:
             return s
@@ -483,7 +494,16 @@ def from_encoded_array(encoded_array) -> Union[str, List[str]]:
 
 def change_encoding(encoded_array, new_encoding: Encoding):
     """Decode then re-encode with another encoding
-    (reference: bionumpy/encoded_array.py:655-696)."""
+    (reference: bionumpy/encoded_array.py:655-696).
+
+    Examples
+    --------
+    >>> import bionumpy_tpu as bnp
+    >>> from bionumpy_tpu.encoded_array import change_encoding
+    >>> base = bnp.as_encoded_array("acgt")
+    >>> change_encoding(base, bnp.DNAEncoding)
+    encoded_array('ACGT', AlphabetEncoding('ACGT'))
+    """
     assert isinstance(encoded_array, (EncodedArray, EncodedRaggedArray))
     new_data = new_encoding.encode(
         encoded_array.encoding.decode(encoded_array.ravel()))

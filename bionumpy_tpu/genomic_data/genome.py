@@ -84,6 +84,25 @@ class Genome:
     # -- intervals ------------------------------------------------------------
     def get_intervals(self, intervals,
                       stranded: bool = False) -> GenomicIntervals:
+        """Represent interval data on this genome.
+
+        Examples
+        --------
+        >>> import bionumpy_tpu as bnp
+        >>> intervals = bnp.Interval(chromosome=['chr1', 'chr1', 'chr2'],
+        ...                          start=[0, 10, 0], stop=[5, 15, 5])
+        >>> genome = bnp.Genome.from_dict({'chr1': 20, 'chr2': 10})
+        >>> genome.get_intervals(intervals)
+        Genomic Intervals on ['chr1', 'chr2']:
+        Interval with 3 entries
+                       chromosome                    start                     stop
+                             chr1                        0                        5
+                             chr1                       10                       15
+                             chr2                        0                        5
+        >>> genome.get_intervals(intervals).get_pileup()["chr1"]\\
+        ...     .to_array().astype(int)
+        array([1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0])
+        """
         # NOTE: never probe stream attributes here — a hasattr() on a
         # one-look-ahead NpDataclassStream consumes a chunk.  from_intervals
         # dispatches full-vs-stream itself (reference:

@@ -77,7 +77,17 @@ def _get_buffered_file(filename, suffix, mode, is_gzip=False,
 
 def bnp_open(filename: str, mode: str = None, buffer_type=None,
              lazy=None) -> Union[NpDataclassReader, NpBufferedWriter]:
-    """Open a bioinformatics file according to its suffix."""
+    """Open a bioinformatics file according to its suffix.
+
+    Examples
+    --------
+    >>> import bionumpy_tpu as bnp
+    >>> bnp.open("example_data/small_interval.bed").read()[:2]
+    Interval with 2 entries
+                   chromosome                    start                     stop
+                            0                       13                       18
+                            0                       37                       46
+    """
     path = PurePath(filename)
     suffix = path.suffixes[-1]
     is_gzip = suffix in (".gz", ".bam")
@@ -88,7 +98,14 @@ def bnp_open(filename: str, mode: str = None, buffer_type=None,
 
 
 def count_entries(filename: str, buffer_type: FileBuffer = None) -> int:
-    """Count entries in a file."""
+    """Count entries in a file.
+
+    Examples
+    --------
+    >>> import bionumpy_tpu as bnp
+    >>> bnp.count_entries("example_data/big.fq.gz")
+    1000
+    """
     logger.info("Counting entries in %s", filename)
     path = PurePath(filename)
     suffix = path.suffixes[-1]

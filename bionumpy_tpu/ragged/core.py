@@ -155,6 +155,15 @@ class RaggedArray:
 
     Supports the ``npstructures.RaggedArray`` surface that bionumpy relies on
     (broadcasting ufuncs, row indexing, per-row reductions, padded export).
+
+    Examples
+    --------
+    >>> from bionumpy_tpu.ragged import RaggedArray
+    >>> ra = RaggedArray([[1, 2, 3], [4]])
+    >>> ra * 2
+    ragged_array([[2, 4, 6], [8]])
+    >>> ra.sum(axis=-1)
+    array([6, 4])
     """
 
     def __init__(self, data, shape=None, dtype=None, safe_mode=True):

@@ -99,7 +99,14 @@ class EncodedCounts:
 
 def count_encoded(values, weights=None, axis: int = -1) -> EncodedCounts:
     """Count occurrences of encoded labels (reference semantics:
-    bionumpy/sequence/count_encoded.py:150-188)."""
+    bionumpy/sequence/count_encoded.py:150-188).
+
+    Examples
+    --------
+    >>> import bionumpy_tpu as bnp
+    >>> bnp.count_encoded(bnp.as_encoded_array(["ACGG"], bnp.DNAEncoding))
+    EncodedCounts(alphabet=['A', 'C', 'G', 'T'], counts=array([[1, 1, 2, 0]]), row_names=None)
+    """
     weights2d = weights is not None and np.asarray(weights).ndim == 2
     if axis is None:
         values = values.ravel()

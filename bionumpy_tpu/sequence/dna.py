@@ -57,7 +57,15 @@ def _reverse_rows(era: EncodedRaggedArray) -> EncodedRaggedArray:
 @streamable()
 @apply_to_npdataclass("sequence")
 def get_reverse_complement(sequence):
-    """Reverse complement of DNA sequences."""
+    """Reverse complement of DNA sequences.
+
+    Examples
+    --------
+    >>> import bionumpy_tpu as bnp
+    >>> bnp.sequence.get_reverse_complement(
+    ...     bnp.as_encoded_array("AAGT", bnp.DNAEncoding))
+    encoded_array('ACTT', AlphabetEncoding('ACGT'))
+    """
     sequence = as_encoded_array(sequence)
     comped = complement(sequence)
     if isinstance(comped, EncodedRaggedArray):

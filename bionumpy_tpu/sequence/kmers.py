@@ -83,7 +83,16 @@ def _device_dna_kmers(sequence: EncodedRaggedArray,
 
 def get_kmers(sequence, k: int) -> EncodedRaggedArray:
     """All k-mer hashes per sequence (reference semantics:
-    bionumpy/sequence/kmers.py:36-88)."""
+    bionumpy/sequence/kmers.py:36-88).
+
+    Examples
+    --------
+    >>> import bionumpy_tpu as bnp
+    >>> seqs = bnp.as_encoded_array(["ACGT", "AC"], bnp.DNAEncoding)
+    >>> bnp.get_kmers(seqs, 2)
+    encoded_ragged_array([[AC, CG, GT],
+     [AC]], 2merEncoding(AlphabetEncoding('ACGT')))
+    """
     assert 0 < k < 32, "k must be in (0, 32)"
     sequence = as_encoded_array(sequence)
     if sequence.encoding == BaseEncoding:
@@ -115,7 +124,18 @@ def count_kmers(sequence, k: int, axis=None) -> EncodedCounts:
 
     For 4-letter alphabets with k <= 12 the full 4^k count vector is
     produced by the device scatter-add kernel without materializing the
-    hash array on host."""
+    hash array on host.
+
+    Examples
+    --------
+    >>> import bionumpy_tpu as bnp
+    >>> seqs = bnp.as_encoded_array(["ACACG", "ACG"], bnp.DNAEncoding)
+    >>> counts = bnp.count_kmers(seqs, 2)
+    >>> counts.most_common(3)
+    EncodedCounts(alphabet=['AC', 'CG', 'CA'], counts=array([3, 2, 1]), row_names=None)
+    >>> int(counts["AC"])
+    3
+    """
     sequence = as_encoded_array(sequence)
     if axis is None and _device_countable(sequence, k):
         return _device_count_kmers(sequence, k)

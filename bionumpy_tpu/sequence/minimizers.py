@@ -31,7 +31,15 @@ class Minimizers(RollableFunction):
 
 
 def get_minimizers(sequence, k: int, window_size: int) -> EncodedRaggedArray:
-    """Minimum k-mer hash in every window of `window_size` bases."""
+    """Minimum k-mer hash in every window of `window_size` bases.
+
+    Examples
+    --------
+    >>> import bionumpy_tpu as bnp
+    >>> seqs = bnp.as_encoded_array(["ACGTACGT"], bnp.DNAEncoding)
+    >>> bnp.sequence.get_minimizers(seqs, k=2, window_size=4)
+    encoded_ragged_array([[AC, TA, TA, TA, AC]], 2merEncoding(AlphabetEncoding('ACGT')))
+    """
     sequence = as_encoded_array(sequence)
     assert is_subclass_or_instance(sequence.encoding, AlphabetEncoding), \
         "Sequence needs an AlphabetEncoding, e.g. DNAEncoding"

@@ -128,6 +128,18 @@ def get_motif_scores(sequence, pwm: PWM) -> RaggedArray:
     """Log-likelihood motif score at every position of every sequence
     (reference: bionumpy/sequence/position_weight_matrix.py:166-196).
 
+    Examples
+    --------
+    >>> import numpy as np
+    >>> import bionumpy_tpu as bnp
+    >>> from bionumpy_tpu.sequence import PWM, get_motif_scores
+    >>> pwm = PWM.from_dict({"A": [0.4, 0.25], "C": [0.2, 0.25],
+    ...                      "G": [0.2, 0.25], "T": [0.2, 0.25]})
+    >>> scores = get_motif_scores(
+    ...     bnp.as_encoded_array(["ACGT"], bnp.DNAEncoding), pwm)
+    >>> np.round(np.asarray(scores.ravel()), 3)
+    array([ 0.47 , -0.223, -0.223])
+
     Windows that run past a sequence end score -inf in the reference's
     example (log(0) terms); here they are gathered off before return, so
     each row has length L - w + 1 ... matching the reference after its

@@ -17,7 +17,15 @@ logger = logging.getLogger(__name__)
 
 
 def match_string(sequence, matching_sequence) -> RaggedArray:
-    """Boolean positions where `matching_sequence` occurs in each row."""
+    """Boolean positions where `matching_sequence` occurs in each row.
+
+    Examples
+    --------
+    >>> import bionumpy_tpu as bnp
+    >>> from bionumpy_tpu.sequence import match_string
+    >>> match_string(bnp.as_encoded_array(["ACGTAC"]), "AC")
+    ragged_array([[True, False, False, False, True]])
+    """
     sequence = as_encoded_array(sequence)
     encoding = sequence.encoding
     matching_sequence = as_encoded_array(matching_sequence, encoding)

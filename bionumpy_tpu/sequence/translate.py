@@ -66,5 +66,13 @@ class Translate:
 @streamable()
 @apply_to_npdataclass("sequence")
 def translate_dna_to_protein(sequence):
-    """Translate DNA to protein (codons of 3)."""
+    """Translate DNA to protein (codons of 3).
+
+    Examples
+    --------
+    >>> import bionumpy_tpu as bnp
+    >>> bnp.sequence.translate_dna_to_protein(
+    ...     bnp.as_encoded_array(["ATGTTTTGA"]))
+    encoded_ragged_array(['MF*'])
+    """
     return Translate().windowed(sequence)

@@ -7,6 +7,7 @@ devices with psum (bionumpy_tpu/parallel/).
 """
 from __future__ import annotations
 
+import functools
 import types
 
 from .stream import BnpStream
@@ -27,6 +28,7 @@ class streamable:
             yield new_args
 
     def __call__(self, func: callable) -> callable:
+        @functools.wraps(func)
         def new_func(*args, **kwargs):
             stream_indices = [
                 i for i, arg in enumerate(args)
@@ -39,6 +41,4 @@ class streamable:
                 return BnpStream(stream)
             return self._reduction(stream)
 
-        new_func.__name__ = getattr(func, "__name__", "streamable")
-        new_func.__doc__ = func.__doc__
         return new_func

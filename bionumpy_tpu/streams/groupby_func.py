@@ -86,7 +86,16 @@ def key_func(x):
 @streamable(join_groupbys)
 def groupby(data, column: str = None, key: callable = key_func):
     """Group sorted data by the values in `column`, yielding
-    (name, batch) pairs."""
+    (name, batch) pairs.
+
+    Examples
+    --------
+    >>> import bionumpy_tpu as bnp
+    >>> from bionumpy_tpu.streams import groupby
+    >>> iv = bnp.Interval(["chr1", "chr1", "chr2"], [0, 5, 1], [3, 8, 4])
+    >>> [(name, len(grp)) for name, grp in groupby(iv, "chromosome")]
+    [('chr1', 2), ('chr2', 1)]
+    """
     if column is not None:
         assert hasattr(data, column), (data.__class__, column)
         keys = getattr(data, column)
