@@ -477,9 +477,32 @@ class RaggedArray:
         # reduceat quirk: when starts[i] >= starts[i+1] it returns data[starts[i]]
         return result
 
+    def _column_counts(self) -> np.ndarray:
+        """Number of rows that reach each column index (for axis=0
+        reductions over ragged rows; same fold as the reference's
+        sum_and_n axis-0 path, bionumpy/computation_graph.py:18-40)."""
+        max_len = int(self.lengths.max()) if len(self) else 0
+        counts = np.bincount(self.lengths, minlength=max_len + 1)
+        return np.cumsum(counts[::-1])[::-1][1:]
+
+    def _column_sum(self, dtype=None):
+        data = self._data if dtype is None else self._data.astype(dtype)
+        if data.dtype == bool:
+            data = data.astype(np.int64)
+        max_len = int(self.lengths.max()) if len(self) else 0
+        cols = np.arange(self.size, dtype=np.int64) - np.repeat(
+            self._shape.starts, self.lengths)
+        return np.bincount(cols, weights=data,
+                           minlength=max_len).astype(
+            np.float64 if np.issubdtype(data.dtype, np.floating)
+            else np.int64)
+
     def sum(self, axis=None, dtype=None, keepdims=False):
         if axis is None:
             return self._data.sum(dtype=dtype)
+        if axis in (0, -2):
+            res = self._column_sum(dtype=dtype)
+            return res[None, :] if keepdims else res
         assert axis in (-1, 1)
         if len(self) == 0:
             res = np.zeros(0, dtype=dtype or self._data.dtype)
@@ -504,6 +527,9 @@ class RaggedArray:
     def mean(self, axis=None, keepdims=False):
         if axis is None:
             return self._data.mean()
+        if axis in (0, -2):
+            res = self._column_sum() / np.maximum(self._column_counts(), 1)
+            return res[None, :] if keepdims else res
         assert axis in (-1, 1)
         res = self.sum(axis=-1) / np.maximum(self.lengths, 1)
         res = np.where(self.lengths == 0, np.nan, res)

@@ -375,6 +375,15 @@ class RunLengthRaggedArray:
                 np.concatenate(va_rows) if va_rows else np.empty(0),
                 [len(r) for r in va_rows])
             return self.__class__(events, values, a._row_lengths)
+        reducers = {np.max: self.max, np.amax: self.max,
+                    np.min: self.min, np.amin: self.min,
+                    np.sum: self.sum, np.mean: self.mean,
+                    np.any: self.any, np.all: self.all}
+        if func in reducers:
+            axis = kwargs.pop("axis", -1)
+            assert axis in (-1, 1), axis
+            assert not kwargs, kwargs
+            return reducers[func](axis=-1)
         return NotImplemented
 
     def __iter__(self):

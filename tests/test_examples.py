@@ -122,3 +122,72 @@ def test_fastqc_example(example_data):
     assert len(gc) == 1000
     assert 0 < mean_quality[0] < 42
     assert 0.2 < gc.mean() < 0.8
+
+
+def test_peak_pileup_example(example_data):
+    from peak_pileup import high_peaks, peak_scores, region_pileup
+    cs = str(example_data / "chr21-22.chrom.sizes")
+    bam = str(example_data / "ctcf_chr21-22.bam")
+    bed = str(example_data / "ctcf_chr21-22.bed.gz")
+    region = region_pileup(cs, bam, "chr22", 19970400, 19970800)
+    assert region.shape == (400,) and region.max() > 0
+    scores = peak_scores(cs, bam, bed)
+    assert scores.shape == (1535,)
+    high = high_peaks(cs, bam, bed, min_depth=5)
+    assert 0 < len(high.get_data()) < 1535
+
+
+def test_tss_cpg_example(example_data, tmp_path):
+    import gzip
+    import shutil
+    from tss_cpg import tss_cpg_profile
+    fa = tmp_path / "sacCer3.fa"
+    gtf = tmp_path / "sacCer3.gtf"
+    for src, dst in [("sacCer3.fa.gz", fa), ("sacCer3.ensGene.gtf.gz", gtf)]:
+        with gzip.open(example_data / src, "rb") as fin, \
+                open(dst, "wb") as fout:
+            shutil.copyfileobj(fin, fout)
+    profile = tss_cpg_profile(str(fa), str(gtf), flank=100)
+    assert profile.shape == (200,)
+    assert 0 < profile.mean() < 1
+
+
+def test_simulate_chipseq_example(example_data):
+    from simulate_chipseq import simulated_pileup_maxima
+    maxima = simulated_pileup_maxima(
+        str(example_data / "MA0080.1.jaspar"),
+        {"chr1": 1000, "chr2": 2000})
+    assert len(maxima) == 2
+    assert all(m > 0 for m in maxima)
+
+
+def test_kmer_index_example(example_data):
+    from kmer_index import sequences_with_kmer
+    hits = sequences_with_kmer(str(example_data / "airr.tsv"), "TGC")
+    assert len(hits) == 100
+
+
+def test_gtf_transcripts_example(example_data):
+    from gtf_transcripts import positive_strand_transcripts
+    pos = positive_strand_transcripts(str(example_data / "small.gtf"))
+    assert len(pos) == 1
+    assert pos.strand.ravel().to_string() == "+"
+
+
+def test_vcf_allele_frequency_example(example_data, tmp_path):
+    from vcf_allele_frequency import filter_by_allele_frequency
+    out = tmp_path / "filtered.vcf"
+    filter_by_allele_frequency(str(example_data / "variants_with_af.vcf"),
+                               str(out), min_af=0.3)
+    import bionumpy_tpu as bnp
+    n_in = bnp.count_entries(str(example_data / "variants_with_af.vcf"))
+    n_out = bnp.count_entries(str(out))
+    assert 0 < n_out < n_in
+
+
+def test_forbes_example(example_data):
+    from forbes_similarity import calculate_forbes
+    value = calculate_forbes(str(example_data / "hg38.chrom.sizes"),
+                             str(example_data / "ctcf.bed.gz"),
+                             str(example_data / "znf263.bed.gz"))
+    assert value > 1  # co-occurring TF binding sites
