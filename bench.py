@@ -71,30 +71,23 @@ def main():
     n = len(flat)
     n_reads = len(lengths)
 
-    # pad to a static bucket; host 2-bit pack shrinks the upload 4x
-    from bionumpy_tpu.ops.device import bucket_size
-    from bionumpy_tpu.ops.kmers import (kmer_checksum_pipeline_packed,
-                                        pack_codes_host)
-    n_positions = bucket_size(n, 1 << 14)
-    ends_i32 = np.cumsum(lengths).astype(np.int32)
-
+    # chunked pipeline: multithreaded host 2-bit pack (upload is 4x
+    # smaller than raw codes) + overlap of pack/H2D/kernel across chunks
+    from bionumpy_tpu.ops.kmers import kmer_checksum_streamed
     device = jax.devices()[0]
 
-    def step(flat_host, ends_host):
-        words = pack_codes_host(flat_host, n_positions)
-        words_dev = jax.device_put(words, device)
-        ends_dev = jax.device_put(ends_host, device)
-        return kmer_checksum_pipeline_packed(words_dev, ends_dev, K, n)
+    def step():
+        return kmer_checksum_streamed(flat, lengths, K, n_chunks=4,
+                                      device=device)
 
     # warmup / compile
     for _ in range(WARMUP_ITERS):
-        result = jax.block_until_ready(step(flat, ends_i32))
+        n_valid, _, _ = step()
 
     times = []
     for _ in range(TIMED_ITERS):
         t0 = time.perf_counter()
-        result = step(flat, ends_i32)
-        n_valid = int(np.asarray(result[0]))  # force full round trip
+        n_valid, _, _ = step()  # syncs internally (full round trip)
         times.append(time.perf_counter() - t0)
     # the tunnel to the chip has volatile latency; min is the honest
     # steady-state throughput of the pipeline itself

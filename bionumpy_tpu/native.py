@@ -25,10 +25,12 @@ def _load():
     if _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_LIB_PATH) and os.path.exists(_SRC_PATH):
+    stale = (os.path.exists(_LIB_PATH) and os.path.exists(_SRC_PATH) and
+             os.path.getmtime(_SRC_PATH) > os.path.getmtime(_LIB_PATH))
+    if (not os.path.exists(_LIB_PATH) or stale) and os.path.exists(_SRC_PATH):
         try:
-            subprocess.run(["g++", "-O3", "-shared", "-fPIC", "-o",
-                            _LIB_PATH, _SRC_PATH], check=True,
+            subprocess.run(["g++", "-O3", "-shared", "-fPIC", "-pthread",
+                            "-o", _LIB_PATH, _SRC_PATH], check=True,
                            capture_output=True)
         except Exception as e:
             logger.info("could not build native kernels: %s", e)
@@ -44,6 +46,11 @@ def _load():
     lib.pack_2bit.argtypes = [ctypes.POINTER(ctypes.c_uint8),
                               ctypes.c_long,
                               ctypes.POINTER(ctypes.c_uint8)]
+    lib.pack_2bit_fill.restype = None
+    lib.pack_2bit_fill.argtypes = [ctypes.POINTER(ctypes.c_uint8),
+                                   ctypes.c_long,
+                                   ctypes.POINTER(ctypes.c_uint8),
+                                   ctypes.c_long, ctypes.c_int]
     _lib = lib
     return _lib
 
@@ -90,6 +97,31 @@ def _bam_find_starts_py(chunk: np.ndarray) -> np.ndarray:
         starts.append(nxt)
         pos = nxt
     return np.array(starts, dtype=np.int64)
+
+
+def pack_2bit_fill(codes: np.ndarray, out_bytes: int,
+                   n_threads: int = None) -> np.ndarray:
+    """Pack len(codes) 2-bit codes into an `out_bytes`-byte buffer,
+    zero-filling past the packed prefix — no pre-padded copy of the
+    codes is made (multithreaded)."""
+    lib = _load()
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    assert out_bytes * 4 >= len(codes)
+    if lib is None:
+        n4 = (len(codes) + 3) // 4 * 4
+        padded = np.zeros(n4, dtype=np.uint8)
+        padded[: len(codes)] = codes
+        out = np.zeros(out_bytes, dtype=np.uint8)
+        out[: n4 // 4] = pack_2bit(padded)
+        return out
+    if n_threads is None:
+        n_threads = min(4, os.cpu_count() or 1)
+    out = np.empty(out_bytes, dtype=np.uint8)
+    lib.pack_2bit_fill(
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(codes),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), out_bytes,
+        n_threads)
+    return out
 
 
 def pack_2bit(codes: np.ndarray) -> np.ndarray:

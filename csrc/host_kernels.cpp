@@ -10,6 +10,8 @@
 // Built with: g++ -O3 -shared -fPIC -o _host_kernels.so host_kernels.cpp
 #include <cstdint>
 #include <cstring>
+#include <thread>
+#include <vector>
 
 extern "C" {
 
@@ -42,13 +44,65 @@ long bam_find_starts(const uint8_t* chunk, long n, long* starts,
     return count;
 }
 
+// Pack 4 codes/byte for out_bytes output bytes starting at code index
+// 4*byte_off.  64-bit gather trick: for 8 codes loaded as one uint64,
+// t = x | x>>6 packs adjacent pairs into bytes 0/2/4/6, u = t | t>>12
+// packs nibble-pairs so bytes 0 and 4 of u are the two output bytes.
+static void pack_2bit_range(const uint8_t* codes, long byte_off,
+                            long out_bytes, uint8_t* out) {
+    const uint8_t* c = codes + 4 * byte_off;
+    uint8_t* o = out + byte_off;
+    long i = 0;
+    for (; i + 2 <= out_bytes; i += 2) {
+        uint64_t x;
+        std::memcpy(&x, c + 4 * i, 8);
+        uint64_t t = x | (x >> 6);
+        uint64_t u = t | (t >> 12);
+        o[i] = (uint8_t)u;
+        o[i + 1] = (uint8_t)(u >> 32);
+    }
+    for (; i < out_bytes; ++i) {
+        const uint8_t* p = c + 4 * i;
+        o[i] = (uint8_t)(p[0] | (p[1] << 2) | (p[2] << 4) | (p[3] << 6));
+    }
+}
+
 // Pack 2-bit codes (values 0..3) into bytes, 4 codes per byte,
 // little-endian within the byte.  n must be a multiple of 4.
 void pack_2bit(const uint8_t* codes, long n, uint8_t* out) {
-    for (long i = 0; i < n / 4; ++i) {
-        const uint8_t* c = codes + 4 * i;
-        out[i] = (uint8_t)(c[0] | (c[1] << 2) | (c[2] << 4) | (c[3] << 6));
+    pack_2bit_range(codes, 0, n / 4, out);
+}
+
+// Pack n codes into out[0:out_bytes], zero-filling everything past the
+// packed prefix (so callers need no pre-padded copy of the codes).
+// Multithreaded over the packed prefix.
+void pack_2bit_fill(const uint8_t* codes, long n, uint8_t* out,
+                    long out_bytes, int n_threads) {
+    long full_bytes = n / 4;
+    if (n_threads < 1) n_threads = 1;
+    if (n_threads > 1 && full_bytes > (1L << 16)) {
+        std::vector<std::thread> workers;
+        long per = (full_bytes + n_threads - 1) / n_threads;
+        for (int t = 0; t < n_threads; ++t) {
+            long off = t * per;
+            long len = off < full_bytes
+                ? (off + per <= full_bytes ? per : full_bytes - off) : 0;
+            if (len > 0)
+                workers.emplace_back(pack_2bit_range, codes, off, len, out);
+        }
+        for (auto& w : workers) w.join();
+    } else {
+        pack_2bit_range(codes, 0, full_bytes, out);
     }
+    long pos = full_bytes;
+    if (n % 4) {  // trailing partial byte
+        uint8_t b = 0;
+        for (long j = 0; j < n % 4; ++j)
+            b |= (uint8_t)(codes[4 * full_bytes + j] << (2 * j));
+        out[pos++] = b;
+    }
+    if (pos < out_bytes)
+        std::memset(out + pos, 0, out_bytes - pos);
 }
 
 }  // extern "C"
