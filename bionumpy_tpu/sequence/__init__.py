@@ -1,4 +1,5 @@
-from .count_encoded import EncodedCounts, count_encoded
+from .count_encoded import (EncodedCounts, SparseEncodedCounts,
+                            count_encoded)
 from .dna import (get_reverse_complement, get_sequences,
                   get_strand_specific_sequences)
 from .kmers import KmerEncoder, count_kmers, get_kmers

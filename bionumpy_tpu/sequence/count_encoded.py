@@ -97,6 +97,80 @@ class EncodedCounts:
         return dict(zip(self.alphabet, self.counts.T))
 
 
+class SparseEncodedCounts(EncodedCounts):
+    """Counts over only the OBSERVED labels of a label space too large to
+    enumerate (e.g. 31-mers: 4^31 labels).  Keyed by integer label codes
+    (k-mer hashes); label strings materialize lazily.
+
+    The reference cannot count such spaces at all (np.bincount with
+    minlength=4**k, bionumpy/sequence/count_encoded.py:168-173, and
+    get_labels is k<=8-only); this is the TPU build's replacement: the
+    device emits hash limbs, the host keeps a sorted (hash, count) table.
+    Addition merges tables, so chunk/shard partials fold associatively
+    (psum-compatible across hosts)."""
+
+    def __init__(self, encoding, label_codes, counts, row_names=None):
+        self.encoding = encoding
+        self.label_codes = np.asarray(label_codes, dtype=np.uint64)
+        self.counts = np.asarray(counts)
+        self.row_names = row_names
+
+    @property
+    def alphabet(self) -> List[str]:
+        return [self.encoding.to_string(int(h)) for h in self.label_codes]
+
+    def __repr__(self):
+        return (f"SparseEncodedCounts({self.encoding}, "
+                f"n_observed={len(self.label_codes)}, "
+                f"total={int(self.counts.sum())})")
+
+    def __eq__(self, other):
+        return (isinstance(other, SparseEncodedCounts) and
+                self.encoding == other.encoding and
+                np.array_equal(self.label_codes, other.label_codes) and
+                np.array_equal(self.counts, other.counts))
+
+    def __getitem__(self, idx: str):
+        code = np.uint64(int(np.asarray(self.encoding.encode(idx).raw())))
+        pos = int(np.searchsorted(self.label_codes, code))
+        if pos < len(self.label_codes) and self.label_codes[pos] == code:
+            return self.counts[pos]
+        return self.counts.dtype.type(0)
+
+    def __add__(self, other):
+        if isinstance(other, Number):
+            assert other == 0, "can only fold with 0 identity"
+            return self
+        assert isinstance(other, SparseEncodedCounts), other
+        assert self.encoding == other.encoding
+        all_codes = np.concatenate([self.label_codes, other.label_codes])
+        all_counts = np.concatenate([self.counts, other.counts])
+        uniq, inverse = np.unique(all_codes, return_inverse=True)
+        merged = np.zeros(len(uniq), dtype=all_counts.dtype)
+        np.add.at(merged, inverse, all_counts)
+        return self.__class__(self.encoding, uniq, merged)
+
+    __radd__ = __add__
+
+    def most_common(self, n: Optional[int] = None) -> EncodedCounts:
+        args = np.argsort(self.counts, kind="stable")[::-1]
+        if n is not None:
+            args = args[:n]
+        return EncodedCounts(
+            [self.encoding.to_string(int(self.label_codes[i]))
+             for i in args], self.counts[args])
+
+    def as_dict(self) -> Dict[str, np.ndarray]:
+        return dict(zip(self.alphabet, self.counts))
+
+    @classmethod
+    def from_hashes(cls, encoding,
+                    hashes: np.ndarray) -> "SparseEncodedCounts":
+        uniq, counts = np.unique(np.asarray(hashes, dtype=np.uint64),
+                                 return_counts=True)
+        return cls(encoding, uniq, counts.astype(np.int64))
+
+
 def count_encoded(values, weights=None, axis: int = -1) -> EncodedCounts:
     """Count occurrences of encoded labels (reference semantics:
     bionumpy/sequence/count_encoded.py:150-188).
@@ -113,6 +187,13 @@ def count_encoded(values, weights=None, axis: int = -1) -> EncodedCounts:
     encoding = values.encoding
     if hasattr(encoding, "get_alphabet"):
         alphabet = encoding.get_alphabet()
+    elif getattr(encoding, "k", 0) > 8:
+        # label space too large to enumerate (e.g. 31-mers): count only
+        # the observed labels
+        assert axis is None and weights is None, \
+            "large label spaces support only axis=None unweighted counts"
+        return SparseEncodedCounts.from_hashes(
+            encoding, np.asarray(values.raw()).astype(np.uint64))
     else:
         alphabet = encoding.get_labels()
     n_labels = len(alphabet)

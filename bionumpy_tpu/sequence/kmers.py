@@ -21,7 +21,8 @@ from ..encodings import DNAEncoding
 from ..ragged import RaggedShape, RaggedView
 from ..streams import streamable
 from ..util import is_subclass_or_instance
-from .count_encoded import EncodedCounts, count_encoded
+from .count_encoded import (EncodedCounts, SparseEncodedCounts,
+                            count_encoded)
 from .rollable import RollableFunction
 
 logger = logging.getLogger(__name__)
@@ -139,6 +140,8 @@ def count_kmers(sequence, k: int, axis=None) -> EncodedCounts:
     sequence = as_encoded_array(sequence)
     if axis is None and _device_countable(sequence, k):
         return _device_count_kmers(sequence, k)
+    if axis is None and _device_sparse_countable(sequence, k):
+        return _device_count_kmers_sparse(sequence, k)
     kmers = get_kmers(sequence, k)
     return count_encoded(kmers, axis=axis)
 
@@ -168,3 +171,36 @@ def _device_count_kmers(sequence, k: int) -> EncodedCounts:
     else:
         alphabet = list(range(4 ** k))
     return EncodedCounts(alphabet, counts.astype(np.int64))
+
+
+def _device_sparse_countable(sequence, k: int) -> bool:
+    enc = getattr(sequence, "encoding", None)
+    if enc == BaseEncoding:
+        return False
+    return (is_subclass_or_instance(enc, AlphabetEncoding) and
+            enc.alphabet_size == 4 and 12 < k < 32)
+
+
+def _device_count_kmers_sparse(sequence, k: int) -> SparseEncodedCounts:
+    """Count k-mers whose label space cannot be enumerated (k up to 31):
+    the device rolling-hash kernel emits uint32 hash limbs, the host
+    keeps only the sorted table of observed (hash, count) pairs.  The
+    reference cannot count these at all (bincount over 4**k,
+    bionumpy/sequence/count_encoded.py:168-173)."""
+    import jax.numpy as jnp
+
+    from ..ops.device import distance_to_row_end
+    from ..ops.kmers import kmer_hashes_masked, prepare_codes
+
+    if isinstance(sequence, EncodedArray):
+        sequence = EncodedRaggedArray(sequence, [len(sequence)])
+    flat = np.asarray(sequence.ravel().raw())
+    lengths = np.asarray(sequence.lengths)
+    codes, dist, n = prepare_codes(flat, lengths)
+    lo, hi, _ = kmer_hashes_masked(jnp.asarray(codes), jnp.asarray(dist), k)
+    lo = np.asarray(lo[:n]).astype(np.uint64)
+    hi = np.asarray(hi[:n]).astype(np.uint64)
+    valid = distance_to_row_end(lengths) >= k
+    hashes = (lo | (hi << np.uint64(32)))[valid]
+    encoding = KmerEncoding(sequence.encoding, k)
+    return SparseEncodedCounts.from_hashes(encoding, hashes)

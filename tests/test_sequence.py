@@ -179,3 +179,55 @@ def test_transcript_sequences(example_data):
     entries = bnp.sequence.get_transcript_sequences(gtf, ref_seq)
     assert len(entries) == len(gtf.get_exons().transcript_id.tolist()) or \
         len(entries) > 0
+
+
+class TestSparseKmerCounts:
+    """count_kmers for label spaces too large to enumerate (k>12 DNA /
+    k>8 generic) — counts only observed k-mers; the reference cannot
+    count these at all (bincount over 4**k)."""
+
+    def test_31mer_parity_with_python(self):
+        from collections import Counter
+        seq_strs = ["ACGTACGTACGTACGTACGTACGTACGTACGTACGT",
+                    "TTTTGGGGCCCCAAAATTTTGGGGCCCCAAAATTTT",
+                    "ACGT"]  # too short for any 31-mer
+        seqs = bnp.as_encoded_array(seq_strs, bnp.DNAEncoding)
+        counts = bnp.count_kmers(seqs, 31)
+        truth = Counter(s[i:i + 31]
+                        for s in seq_strs for i in range(len(s) - 30))
+        assert dict(zip(counts.alphabet, counts.counts)) == dict(truth)
+        assert int(counts["ACGTACGTACGTACGTACGTACGTACGTACG"]) == 2
+        assert int(counts["A" * 31]) == 0
+
+    def test_fold_matches_whole(self):
+        seq_strs = ["ACGTACGTACGTACGTACGTACGTACGTACGTACGT",
+                    "TTTTGGGGCCCCAAAATTTTGGGGCCCCAAAATTTT"]
+        whole = bnp.count_kmers(
+            bnp.as_encoded_array(seq_strs, bnp.DNAEncoding), 31)
+        folded = sum(
+            bnp.count_kmers(bnp.as_encoded_array([s], bnp.DNAEncoding), 31)
+            for s in seq_strs)
+        assert folded == whole
+
+    def test_most_common(self):
+        seqs = bnp.as_encoded_array(["ACGTACGTACGTACG" * 3],
+                                    bnp.DNAEncoding)
+        top = bnp.count_kmers(seqs, 15).most_common(1)
+        assert top.counts[0] == max(
+            bnp.count_kmers(seqs, 15).counts)
+
+    def test_generic_alphabet_k9(self):
+        from collections import Counter
+        s = "MFLSPR" * 4
+        counts = bnp.count_kmers(
+            bnp.as_encoded_array([s], bnp.AminoAcidEncoding), 9)
+        truth = Counter(s[i:i + 9] for i in range(len(s) - 8))
+        assert dict(zip(counts.alphabet, counts.counts)) == dict(truth)
+
+    def test_real_file_31mers(self, example_data):
+        data = bnp.open(str(example_data / "reads.fq")).read()
+        seqs = bnp.change_encoding(data.sequence, bnp.DNAEncoding)
+        counts = bnp.count_kmers(seqs, 31)
+        n_expected = int(np.maximum(
+            np.asarray(seqs.lengths) - 30, 0).sum())
+        assert int(counts.counts.sum()) == n_expected
