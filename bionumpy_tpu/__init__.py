@@ -20,7 +20,8 @@ from .encoded_array import (BaseEncoding, EncodedArray, EncodedRaggedArray,
                             as_encoded_array, change_encoding,
                             from_encoded_array)
 from .encodings import (AminoAcidEncoding, BamEncoding, CigarEncoding,
-                        DNAEncoding, QualityEncoding, StrandEncoding)
+                        DNAEncoding, QualityEncoding, RNAEncoding,
+                        RNAENcoding, StrandEncoding)
 from .encodings.alphabet_encoding import AlphabetEncoding
 from .encodings.kmer_encodings import KmerEncoding
 from .encodings.string_encodings import StringEncoding
@@ -32,21 +33,24 @@ __all__ = [
     "BaseEncoding", "as_encoded_array", "change_encoding",
     "from_encoded_array", "EncodedLookup", "AlphabetEncoding", "DNAEncoding",
     "AminoAcidEncoding", "BamEncoding", "QualityEncoding", "CigarEncoding",
-    "StrandEncoding", "KmerEncoding", "StringEncoding",
+    "StrandEncoding", "KmerEncoding", "StringEncoding", "RNAEncoding",
+    "RNAENcoding",
     "RaggedArray", "RaggedShape", "RaggedView", "ragged_slice",
     "StringArray", "string_array", "as_string_array",
 ]
 
 
-from .io import (Bed6Buffer, BedBuffer, FastQBuffer, GfaSequenceBuffer,
-                 MultiLineFastaBuffer, NarrowPeakBuffer, TwoLineFastaBuffer,
-                 bnp_open, count_entries, get_bufferclass_for_datatype,
-                 open_indexed, read)
+from .io import (Bed6Buffer, BedBuffer, FastQBuffer, GFFBuffer,
+                 GfaSequenceBuffer, MultiLineFastaBuffer, NarrowPeakBuffer,
+                 SAMBuffer, TwoLineFastaBuffer, bnp_open, count_entries,
+                 get_bufferclass_for_datatype, open_indexed, read)
 from .sequence import (EncodedCounts, count_encoded, count_kmers, get_kmers,
                        get_minimizers, get_motif_scores,
                        get_reverse_complement, match_string,
                        translate_dna_to_protein)
-from .sequence.position_weight_matrix import PWM
+from .sequence.kmers import KmerEncoder
+from .sequence.minimizers import Minimizers
+from .sequence.position_weight_matrix import PWM, PositionWeightMatrix
 from .streams import (MultiStream, bincount, groupby, histogram, mean,
                       quantile, streamable)
 from .datatypes import (BamEntry, Bed6, GFFEntry, Interval, LocationEntry,
@@ -90,5 +94,6 @@ __all__ += [
     "variants", "simulate", "CliWrapper", "run_as_commandline",
     "get_bufferclass_for_datatype", "TwoLineFastaBuffer", "FastQBuffer",
     "MultiLineFastaBuffer", "BedBuffer", "Bed6Buffer", "NarrowPeakBuffer",
-    "GfaSequenceBuffer",
+    "GfaSequenceBuffer", "GFFBuffer", "SAMBuffer", "KmerEncoder",
+    "Minimizers", "PositionWeightMatrix",
 ]
