@@ -51,6 +51,12 @@ def _load():
                                    ctypes.c_long,
                                    ctypes.POINTER(ctypes.c_uint8),
                                    ctypes.c_long, ctypes.c_int]
+    lib.kmer_correction_sums.restype = None
+    lib.kmer_correction_sums.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_long, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint32)]
     _lib = lib
     return _lib
 
@@ -122,6 +128,65 @@ def pack_2bit_fill(codes: np.ndarray, out_bytes: int,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), out_bytes,
         n_threads)
     return out
+
+
+def kmer_correction_sums(packed: np.ndarray, ends: np.ndarray,
+                         starts: np.ndarray, k: int,
+                         n_threads: int = None) -> tuple:
+    """(lo_sum, hi_sum) mod 2^32 of the limbs of every row-crossing
+    window (the up-to-(k-1) windows before each row end), recomputed
+    from the 2-bit-packed byte buffer.  Subtracting these from the
+    device's unmasked full sums yields the valid-window checksum; runs
+    on host threads, overlapped with the device pass."""
+    lib = _load()
+    packed = np.ascontiguousarray(packed.view(np.uint8).ravel())
+    ends = np.ascontiguousarray(ends, dtype=np.int64)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    assert len(ends) == len(starts)
+    if lib is None:
+        return _kmer_correction_sums_py(packed, ends, starts, k)
+    if n_threads is None:
+        n_threads = min(8, os.cpu_count() or 1)
+    out = np.zeros(2, dtype=np.uint32)
+    lib.kmer_correction_sums(
+        packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(packed),
+        ends.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(ends), k, n_threads,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
+    return int(out[0]), int(out[1])
+
+
+def _kmer_correction_sums_py(packed: np.ndarray, ends: np.ndarray,
+                             starts: np.ndarray, k: int) -> tuple:
+    """Vectorized numpy twin of the native correction kernel."""
+    if len(ends) == 0 or k <= 1:
+        return 0, 0
+    offs = np.arange(k - 1, 0, -1, dtype=np.int64)
+    pos = ends[:, None] - offs[None, :]                     # (R, k-1)
+    mask = pos >= starts[:, None]
+    pos = np.maximum(pos, 0)
+    # gather 2x uint64 straddling each window start (unaligned loads via
+    # per-byte gathers on a zero-extended buffer)
+    byte = (pos >> 2).ravel()
+    sh = ((pos & 3) * 2).astype(np.uint64).ravel()
+    buf = np.zeros(len(packed) + 16, dtype=np.uint8)
+    buf[: len(packed)] = packed
+    idx = byte[:, None] + np.arange(16, dtype=np.int64)
+    b = buf[idx].astype(np.uint64)
+    shifts8 = np.uint64(8) * np.arange(8, dtype=np.uint64)
+    w0 = (b[:, :8] << shifts8).sum(axis=-1, dtype=np.uint64)
+    w1 = (b[:, 8:] << shifts8).sum(axis=-1, dtype=np.uint64)
+    val = (w0 >> sh) | np.where(sh == 0, np.uint64(0),
+                                w1 << (np.uint64(64) - sh))
+    if 2 * k < 64:
+        val &= np.uint64((1 << (2 * k)) - 1)
+    val = np.where(mask.ravel(), val, np.uint64(0))
+    lo = int(np.sum(val & np.uint64(0xFFFFFFFF),
+                    dtype=np.uint64) & np.uint64(0xFFFFFFFF))
+    hi = int(np.sum(val >> np.uint64(32),
+                    dtype=np.uint64) & np.uint64(0xFFFFFFFF))
+    return lo, hi
 
 
 def pack_2bit(codes: np.ndarray) -> np.ndarray:

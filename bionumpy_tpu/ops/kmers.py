@@ -123,6 +123,142 @@ def hash_checksum(lo: jnp.ndarray, hi: jnp.ndarray, valid: jnp.ndarray):
     return lo_sum, hi_sum, lo_x, hi_x
 
 
+def _mask_limbs(lo: jnp.ndarray, hi: jnp.ndarray, k: int):
+    """Zero the bits above 2k in an (lo, hi) limb pair."""
+    if k <= 16:
+        mask_lo = jnp.uint32((1 << (2 * k)) - 1) if k < 16 else \
+            jnp.uint32(0xFFFFFFFF)
+        return lo & mask_lo, jnp.zeros_like(lo)
+    mask_hi = jnp.uint32((1 << (2 * (k - 16))) - 1) if k < 32 else \
+        jnp.uint32(0xFFFFFFFF)
+    return lo, hi & mask_hi
+
+
+@partial(jax.jit, static_argnames=("k",))
+def kmer_limbs_packed(words: jnp.ndarray, k: int):
+    """(lo, hi) limbs for every flat position from packed words only —
+    the minimal-upload variant (0.25 B/base crosses the link; validity
+    is the caller's affair)."""
+    n_positions = (words.shape[0] - 2) * WORD_BASES
+    return _window_limbs(words, n_positions, k)
+
+
+def _correction_limbs(words: jnp.ndarray, ends: jnp.ndarray,
+                      starts: jnp.ndarray, k: int):
+    """Limbs + in-row mask of the up-to-(k-1) row-crossing windows that
+    precede each row end.
+
+    The flat stream has no inter-row padding, so a window starting at
+    p is invalid iff p falls in [max(start_r, end_r-k+1), end_r) of its
+    row r (the reference's trim rule, bionumpy/sequence/rollable.py:57-69).
+    Recomputing exactly those windows lets the hot kernels reduce over
+    ALL positions unmasked and subtract this (n_rows, k-1) correction —
+    O(rows*k) instead of an O(n_positions) mark/cumsum validity pass.
+    """
+    offs = jnp.arange(k - 1, 0, -1, dtype=jnp.int32)
+    pos = ends[:, None].astype(jnp.int32) - offs[None, :]      # (R, k-1)
+    mask = pos >= starts[:, None].astype(jnp.int32)
+    pos_c = jnp.maximum(pos, 0)
+    base = pos_c >> 4
+    bit = ((pos_c & 15) * 2).astype(jnp.uint32)
+    p0 = words[base]
+    p1 = words[base + 1]
+    p2 = words[base + 2]
+    nonzero = bit > 0
+    inv = jnp.where(nonzero, 32 - bit, 0).astype(jnp.uint32)
+    lo = (p0 >> bit) | jnp.where(nonzero, p1 << inv, 0)
+    hi = (p1 >> bit) | jnp.where(nonzero, p2 << inv, 0)
+    lo, hi = _mask_limbs(lo, hi, k)
+    return lo, hi, mask
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _kmer_fullsum_packed_xla(words: jnp.ndarray, k: int):
+    n_positions = (words.shape[0] - 2) * WORD_BASES
+    lo, hi = _window_limbs(words, n_positions, k)
+    return jnp.sum(lo), jnp.sum(hi)
+
+
+def _words_on_tpu(words) -> bool:
+    dev = getattr(words, "devices", None)
+    if dev is not None:
+        try:
+            return all(d.platform == "tpu" for d in words.devices())
+        except Exception:
+            pass
+    import jax
+    return jax.default_backend() == "tpu"
+
+
+def kmer_fullsum_packed(words, k: int):
+    """Unmasked (lo_sum, hi_sum) over ALL window positions — the pure
+    streaming device pass of the hybrid checksum: zero-padded windows
+    hash to 0, row-crossing windows are subtracted afterwards from the
+    host-side correction (native.kmer_correction_sums).
+
+    On TPU this routes to the fused Pallas kernel (one HBM read per
+    word, scalar SMEM accumulators); elsewhere to the XLA formulation.
+    """
+    n_words = int(words.shape[0]) - 2
+    if n_words % 1024 == 0 and _words_on_tpu(words):
+        from .pallas_kmers import pallas_fullsum_packed
+        return pallas_fullsum_packed(words, k)
+    return _kmer_fullsum_packed_xla(words, k)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def kmer_checksum_packed(words: jnp.ndarray, ends: jnp.ndarray, k: int):
+    """(n_kmers, lo_sum, hi_sum) from packed words + row ends.
+
+    Sums the hash limbs over ALL window positions (padding windows hash
+    to 0 because the host pack zero-fills), then subtracts the row-end
+    correction windows; the k-mer count itself is analytic in the row
+    lengths.  Replaces the mark-scatter + 111M-element cumsum validity
+    pass — the correction touches only rows*(k-1) elements."""
+    n_positions = (words.shape[0] - 2) * WORD_BASES
+    lo, hi = _window_limbs(words, n_positions, k)
+    lo_sum = jnp.sum(lo)  # uint32 wraparound == reference sums mod 2^32
+    hi_sum = jnp.sum(hi)
+    starts = jnp.concatenate([jnp.zeros(1, ends.dtype), ends[:-1]])
+    clo, chi, cmask = _correction_limbs(words, ends, starts, k)
+    lo_sum -= jnp.sum(jnp.where(cmask, clo, 0))
+    hi_sum -= jnp.sum(jnp.where(cmask, chi, 0))
+    lengths = (ends - starts).astype(jnp.int32)
+    n_kmers = jnp.sum(jnp.maximum(lengths - (k - 1), 0))
+    return n_kmers, lo_sum, hi_sum
+
+
+@partial(jax.jit, static_argnames=("k", "n_counts", "n_true"))
+def kmer_count_small_packed(words: jnp.ndarray, ends: jnp.ndarray, k: int,
+                            n_counts: int, n_true: int):
+    """Exact 4^k counts (k <= 15) from packed words + row ends: one
+    scatter-add over all positions, minus the row-end correction
+    windows, minus the all-zero padding-tail windows (bin 0)."""
+    n_positions = (words.shape[0] - 2) * WORD_BASES
+    lo, _ = _window_limbs(words, n_positions, k)
+    counts = jnp.zeros(n_counts + 1, jnp.int32).at[
+        lo.astype(jnp.int32)].add(1)
+    starts = jnp.concatenate([jnp.zeros(1, ends.dtype), ends[:-1]])
+    clo, _, cmask = _correction_limbs(words, ends, starts, k)
+    cidx = jnp.where(cmask, clo.astype(jnp.int32), n_counts)
+    counts = counts.at[cidx].add(-1)
+    counts = counts.at[0].add(-(n_positions - n_true))
+    return counts[:-1]
+
+
+def prepare_packed(flat_codes: np.ndarray, lengths: np.ndarray,
+                   min_bucket: int = 1 << 14):
+    """Host-side minimal-upload transport for the k-mer kernels:
+    2-bit-packed uint32 words (zero-filled into a power-of-two position
+    bucket + 2 halo words) and int32 row ends."""
+    from .device import bucket_size
+    n = len(flat_codes)
+    n_positions = bucket_size(max(n, 1), min_bucket)
+    words = pack_codes_host(flat_codes, n_positions)
+    ends = np.cumsum(lengths, dtype=np.int64).astype(np.int32)
+    return words, ends, n
+
+
 def pack_codes_host(flat_codes: np.ndarray, n_positions: int) -> np.ndarray:
     """Host-side 2-bit pack: 4 codes/byte then a uint32 view — the upload
     is 4x smaller than raw codes.  Layout matches pack_2bit exactly
@@ -182,38 +318,46 @@ def kmer_checksum_streamed(flat_codes: np.ndarray, lengths: np.ndarray,
     """Chunked host->device k-mer checksum pipeline.
 
     Splits the reads into `n_chunks` parts on read boundaries and issues
-    pack -> H2D -> kernel per part without synchronizing, so the host
-    pack and the device kernel overlap the (relay-)bottlenecked uploads
-    of the other parts; one sync at the end.  ~2x the monolithic
-    pipeline's throughput on the axon relay.  Returns
+    pack -> H2D -> unmasked-sum kernel per part without synchronizing,
+    so the host pack and the device kernel overlap the
+    (relay-)bottlenecked uploads of the other parts.  While the device
+    streams, host threads recompute the O(rows*k) row-crossing
+    correction windows (native.kmer_correction_sums) that the device
+    sums must not include; one sync at the end subtracts them.  Returns
     (n_valid_kmers, lo_checksum, hi_checksum) as Python ints (uint32
     wraparound sums, order-independent).
     """
     from .device import bucket_size
+    from ..native import kmer_correction_sums
     if device is None:
         device = jax.devices()[0]
     n_chunks = max(1, min(n_chunks, max(1, len(lengths))))
     bounds = np.linspace(0, len(lengths), n_chunks + 1).astype(np.int64)
     offsets = np.insert(np.cumsum(lengths, dtype=np.int64), 0, 0)
     futures = []
+    corr_lo = corr_hi = 0
     for c in range(n_chunks):
         rows = slice(bounds[c], bounds[c + 1])
         part = flat_codes[offsets[bounds[c]]:offsets[bounds[c + 1]]]
         if len(part) == 0:
             continue
-        ends = np.cumsum(lengths[rows]).astype(np.int32)
+        ends = np.cumsum(lengths[rows], dtype=np.int64)
         n_positions = bucket_size(len(part), 1 << 14)
         words = pack_codes_host(part, n_positions)
         words_dev = jax.device_put(words, device)
-        ends_dev = jax.device_put(ends, device)
-        futures.append(kmer_checksum_pipeline_packed(
-            words_dev, ends_dev, k, len(part)))
-    n_kmers = lo = hi = 0
+        futures.append(kmer_fullsum_packed(words_dev, k))
+        # host correction overlaps the async device work above
+        starts = np.insert(ends[:-1], 0, 0)
+        cl, ch = kmer_correction_sums(words, ends, starts, k)
+        corr_lo += cl
+        corr_hi += ch
+    n_kmers = int(np.maximum(lengths.astype(np.int64) - (k - 1), 0).sum())
+    lo = hi = 0
     for fut in futures:
-        n_kmers += int(np.asarray(fut[0]))
-        lo = (lo + int(np.asarray(fut[1]))) & 0xFFFFFFFF
-        hi = (hi + int(np.asarray(fut[2]))) & 0xFFFFFFFF
-    return n_kmers, lo, hi
+        lo = (lo + int(np.asarray(fut[0]))) & 0xFFFFFFFF
+        hi = (hi + int(np.asarray(fut[1]))) & 0xFFFFFFFF
+    return (n_kmers, (lo - corr_lo) & 0xFFFFFFFF,
+            (hi - corr_hi) & 0xFFFFFFFF)
 
 
 def prepare_codes(flat_codes: np.ndarray, lengths: np.ndarray,

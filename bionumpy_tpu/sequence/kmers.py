@@ -60,15 +60,16 @@ class KmerEncoder(RollableFunction):
 
 def _device_dna_kmers(sequence: EncodedRaggedArray,
                       k: int) -> EncodedRaggedArray:
-    """TPU path: flat codes -> (lo, hi) limbs -> int64 host combine ->
-    contiguous per-row gather of valid windows."""
+    """TPU path: host 2-bit pack (0.25 B/base H2D) -> (lo, hi) limb
+    kernel -> int64 host combine -> contiguous per-row gather of valid
+    windows."""
     import jax.numpy as jnp
-    from ..ops.kmers import kmer_hashes_masked, prepare_codes
+    from ..ops.kmers import kmer_limbs_packed, prepare_packed
 
     flat = np.asarray(sequence.ravel().raw())
     lengths = np.asarray(sequence.lengths)
-    codes, dist, n = prepare_codes(flat, lengths)
-    lo, hi, _ = kmer_hashes_masked(jnp.asarray(codes), jnp.asarray(dist), k)
+    words, _, n = prepare_packed(flat, lengths)
+    lo, hi = kmer_limbs_packed(jnp.asarray(words), k)
     lo = np.asarray(lo[:n])
     hi = np.asarray(hi[:n])
     hashes = (lo.astype(np.uint64) |
@@ -156,15 +157,15 @@ def _device_countable(sequence, k: int) -> bool:
 
 def _device_count_kmers(sequence, k: int) -> EncodedCounts:
     import jax.numpy as jnp
-    from ..ops.kmers import kmer_count_small, prepare_codes
+    from ..ops.kmers import kmer_count_small_packed, prepare_packed
 
     if isinstance(sequence, EncodedArray):
         sequence = EncodedRaggedArray(sequence, [len(sequence)])
     flat = np.asarray(sequence.ravel().raw())
     lengths = np.asarray(sequence.lengths)
-    codes, dist, _ = prepare_codes(flat, lengths)
-    counts = np.asarray(kmer_count_small(jnp.asarray(codes),
-                                         jnp.asarray(dist), k, 4 ** k))
+    words, ends, n = prepare_packed(flat, lengths)
+    counts = np.asarray(kmer_count_small_packed(
+        jnp.asarray(words), jnp.asarray(ends), k, 4 ** k, n))
     encoding = KmerEncoding(sequence.encoding, k)
     if k <= 8:
         alphabet = encoding.get_labels()
@@ -190,14 +191,14 @@ def _device_count_kmers_sparse(sequence, k: int) -> SparseEncodedCounts:
     import jax.numpy as jnp
 
     from ..ops.device import distance_to_row_end
-    from ..ops.kmers import kmer_hashes_masked, prepare_codes
+    from ..ops.kmers import kmer_limbs_packed, prepare_packed
 
     if isinstance(sequence, EncodedArray):
         sequence = EncodedRaggedArray(sequence, [len(sequence)])
     flat = np.asarray(sequence.ravel().raw())
     lengths = np.asarray(sequence.lengths)
-    codes, dist, n = prepare_codes(flat, lengths)
-    lo, hi, _ = kmer_hashes_masked(jnp.asarray(codes), jnp.asarray(dist), k)
+    words, _, n = prepare_packed(flat, lengths)
+    lo, hi = kmer_limbs_packed(jnp.asarray(words), k)
     lo = np.asarray(lo[:n]).astype(np.uint64)
     hi = np.asarray(hi[:n]).astype(np.uint64)
     valid = distance_to_row_end(lengths) >= k

@@ -105,4 +105,80 @@ void pack_2bit_fill(const uint8_t* codes, long n, uint8_t* out,
         std::memset(out + pos, 0, out_bytes - pos);
 }
 
+// ---- k-mer row-end correction -------------------------------------------
+//
+// The device hot kernel sums hash limbs over ALL flat window positions
+// (zero-padded windows hash to 0).  Windows that cross a row boundary are
+// invalid under the reference's trim rule (bionumpy/sequence/rollable.py:
+// 57-69); there are at most k-1 of them per row, ending at each row end.
+// This kernel recomputes exactly those windows from the same 2-bit-packed
+// buffer and returns their limb sums (mod 2^32) so the caller can subtract
+// them from the device's unmasked sums — O(rows*k) host work fully
+// overlapped with the device pass, instead of an O(n_positions) validity
+// cumsum on device.
+
+static void kmer_corr_range(const uint8_t* packed, long nbytes,
+                            const int64_t* ends, const int64_t* starts,
+                            long row_lo, long row_hi, int k,
+                            uint32_t* lo_out, uint32_t* hi_out) {
+    const uint64_t mask = (2 * k >= 64) ? ~0ull : ((1ull << (2 * k)) - 1);
+    uint32_t lo = 0, hi = 0;
+    for (long r = row_lo; r < row_hi; ++r) {
+        int64_t e = ends[r];
+        int64_t j0 = e - (k - 1);
+        if (j0 < starts[r]) j0 = starts[r];
+        for (int64_t j = j0; j < e; ++j) {
+            long byte = (long)(j >> 2);
+            int sh = (int)(j & 3) * 2;
+            uint64_t w0 = 0, w1 = 0;
+            if (byte + 16 <= nbytes) {
+                std::memcpy(&w0, packed + byte, 8);
+                std::memcpy(&w1, packed + byte + 8, 8);
+            } else {  // zero-padded tail read
+                uint8_t buf[16] = {0};
+                long avail = nbytes - byte;
+                if (avail > 16) avail = 16;
+                if (avail > 0) std::memcpy(buf, packed + byte, (size_t)avail);
+                std::memcpy(&w0, buf, 8);
+                std::memcpy(&w1, buf + 8, 8);
+            }
+            uint64_t val = (w0 >> sh) | (sh ? (w1 << (64 - sh)) : 0);
+            val &= mask;
+            lo += (uint32_t)val;
+            hi += (uint32_t)(val >> 32);
+        }
+    }
+    *lo_out = lo;
+    *hi_out = hi;
+}
+
+// out[0] += sum of lo limbs, out[1] += sum of hi limbs (mod 2^32) of all
+// row-crossing windows.  packed: 2-bit codes, 4/byte little-endian.
+void kmer_correction_sums(const uint8_t* packed, long nbytes,
+                          const int64_t* ends, const int64_t* starts,
+                          long n_rows, int k, int n_threads,
+                          uint32_t* out) {
+    if (n_threads < 1) n_threads = 1;
+    if (n_threads == 1 || n_rows < (1L << 12)) {
+        kmer_corr_range(packed, nbytes, ends, starts, 0, n_rows, k,
+                        out, out + 1);
+        return;
+    }
+    std::vector<uint32_t> lo(n_threads), hi(n_threads);
+    std::vector<std::thread> workers;
+    long per = (n_rows + n_threads - 1) / n_threads;
+    for (int t = 0; t < n_threads; ++t) {
+        long a = t * per;
+        long b = a + per < n_rows ? a + per : n_rows;
+        if (a >= b) { lo[t] = hi[t] = 0; continue; }
+        workers.emplace_back(kmer_corr_range, packed, nbytes, ends, starts,
+                             a, b, k, &lo[t], &hi[t]);
+    }
+    for (auto& w : workers) w.join();
+    uint32_t l = 0, h = 0;
+    for (int t = 0; t < n_threads; ++t) { l += lo[t]; h += hi[t]; }
+    out[0] = l;
+    out[1] = h;
+}
+
 }  // extern "C"

@@ -115,3 +115,75 @@ def test_cumsum_rows():
     ra = RaggedArray([[1, 2, 3], [4, 5], []])
     out = ra.cumsum(axis=-1)
     assert out.tolist() == [[1, 3, 6], [4, 9], []]
+
+
+class TestPackedKmerKernels:
+    """The packed-transport kernels: full-sum + row-end correction ==
+    masked sums; count via subtraction == masked scatter counts."""
+
+    def _random_case(self, seed):
+        rng = np.random.default_rng(seed)
+        n_rows = int(rng.integers(1, 40))
+        lengths = rng.integers(1, 60, n_rows)
+        flat = rng.integers(0, 4, lengths.sum()).astype(np.uint8)
+        return flat, lengths
+
+    def test_checksum_packed_matches_pipeline(self):
+        import jax.numpy as jnp
+        from bionumpy_tpu.ops.kmers import (
+            kmer_checksum_packed, kmer_checksum_pipeline_packed,
+            prepare_packed)
+        for seed in range(5):
+            flat, lengths = self._random_case(seed)
+            for k in (2, 16, 17, 31):
+                words, ends, n = prepare_packed(flat, lengths)
+                a = kmer_checksum_packed(jnp.asarray(words),
+                                         jnp.asarray(ends), k)
+                b = kmer_checksum_pipeline_packed(
+                    jnp.asarray(words), jnp.asarray(ends), k, n)
+                assert tuple(int(x) for x in a) == \
+                    tuple(int(x) for x in b)
+
+    def test_count_small_packed_matches_masked(self):
+        import jax.numpy as jnp
+        from bionumpy_tpu.ops.kmers import (
+            kmer_count_small, kmer_count_small_packed, prepare_codes,
+            prepare_packed)
+        for seed in range(5):
+            flat, lengths = self._random_case(seed + 10)
+            for k in (1, 3, 7):
+                words, ends, n = prepare_packed(flat, lengths)
+                got = np.asarray(kmer_count_small_packed(
+                    jnp.asarray(words), jnp.asarray(ends), k, 4 ** k, n))
+                codes, dist, _ = prepare_codes(flat, lengths)
+                want = np.asarray(kmer_count_small(
+                    jnp.asarray(codes), jnp.asarray(dist), k, 4 ** k))
+                np.testing.assert_array_equal(got, want)
+
+    def test_native_correction_matches_numpy(self):
+        from bionumpy_tpu.native import (_kmer_correction_sums_py,
+                                         kmer_correction_sums)
+        from bionumpy_tpu.ops.kmers import prepare_packed
+        for seed in range(5):
+            flat, lengths = self._random_case(seed + 20)
+            words, ends, _ = prepare_packed(flat, lengths)
+            ends = ends.astype(np.int64)
+            starts = np.insert(ends[:-1], 0, 0)
+            for k in (2, 16, 31, 32):
+                a = kmer_correction_sums(words, ends, starts, k)
+                b = _kmer_correction_sums_py(words.view(np.uint8), ends,
+                                             starts, k)
+                assert a == b
+
+    def test_streamed_hybrid_checksum(self):
+        import jax.numpy as jnp
+        from bionumpy_tpu.ops.kmers import (kmer_checksum_packed,
+                                            kmer_checksum_streamed,
+                                            prepare_packed)
+        flat, lengths = self._random_case(33)
+        for k in (5, 31):
+            got = kmer_checksum_streamed(flat, lengths, k, n_chunks=3)
+            words, ends, _ = prepare_packed(flat, lengths)
+            want = kmer_checksum_packed(jnp.asarray(words),
+                                        jnp.asarray(ends), k)
+            assert got == tuple(int(x) for x in want)
