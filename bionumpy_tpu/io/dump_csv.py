@@ -29,9 +29,10 @@ def _str_func(column):
 
 
 def _seq_id_func(column):
-    if isinstance(column, EncodedArray):
-        if isinstance(column.encoding, StringEncoding):
-            return column.encoding.decode(column)
+    if isinstance(column, (EncodedArray, EncodedRaggedArray)):
+        # identifiers held as encoded text (e.g. a lazily-overwritten
+        # name field) render like any string column
+        return _str_func(column)
     if isinstance(column, StringArray):
         column = column.raw()
     return encoded_array_from_nparray(column)

@@ -1,0 +1,265 @@
+"""Behavior tests for the long tail of components: indexes, filters,
+matchers, memory mapping, stream helpers, legacy geometry, CLI wrapper,
+plotting and formatting utilities.
+
+Mirrors the semantics of the reference's tests/test_bloom_filter.py,
+test_debruijn.py, test_wildcard_index.py, test_string_matcher.py,
+test_memory_mapping.py, test_streams.py, test_geometry.py, test_cli.py,
+test_formating.py, test_util.py and test_pairs.py (reimplemented).
+"""
+import numpy as np
+import pytest
+
+import bionumpy_tpu as bnp
+from bionumpy_tpu.encoded_array import EncodedArray
+
+
+@pytest.fixture
+def dna_seqs():
+    return bnp.as_encoded_array(
+        ["ACGTACGT", "GGGTTTAC", "ACGT"], bnp.DNAEncoding)
+
+
+class TestBloomFilter:
+    def test_inserted_kmers_are_members(self, dna_seqs):
+        from bionumpy_tpu.sequence.bloom_filter import (
+            BloomFilter, hash_function)
+        k = 3
+        kmers = bnp.get_kmers(dna_seqs, k).raw().ravel()
+        hashes = [hash_function(o) for o in (11, 503)]
+        bf = BloomFilter.from_hash_functions_and_sequences(
+            hashes, kmers, mask_size=4 ** k * 4)
+        assert bool(np.all(bf[kmers]))
+
+    def test_absent_kmers_mostly_rejected(self):
+        from bionumpy_tpu.sequence.bloom_filter import (
+            BloomFilter, hash_function)
+        rng = np.random.default_rng(0)
+        present = rng.integers(0, 4 ** 10, 100)
+        absent = rng.integers(4 ** 10, 4 ** 11, 1000)
+        hashes = [hash_function(o) for o in (11, 503, 9001)]
+        bf = BloomFilter.from_hash_functions_and_sequences(
+            hashes, present, mask_size=1 << 16)
+        fp_rate = np.mean(bf[absent])
+        assert fp_rate < 0.2
+
+    def test_interleaved(self, dna_seqs):
+        from bionumpy_tpu.sequence.bloom_filter import (
+            InterleavedBloomFilter, hash_function)
+        k = 3
+        rows = [np.asarray(r, dtype=np.int64)
+                for r in bnp.get_kmers(dna_seqs, k).raw()]
+        hashes = [hash_function(o) for o in (11, 503)]
+        ibf = InterleavedBloomFilter.from_hash_functions_and_sequences(
+            hashes, rows, mask_size=4 ** k * 4)
+        assert bool(np.all(ibf[rows[0], 0]))
+
+
+class TestDeBruijn:
+    def test_forward_backward(self):
+        from bionumpy_tpu.sequence.debruijn import DeBruijnGraph
+        g = DeBruijnGraph.from_sequences(
+            bnp.as_encoded_array(["ACGTA"], bnp.DNAEncoding), k=3)
+        nxt = g.forward("ACG")
+        assert "CGT" in nxt
+        prv = g.backward("CGT")
+        assert "ACG" in prv
+
+    def test_colored(self):
+        from bionumpy_tpu.sequence.debruijn import ColoredDeBruijnGraph
+        g = ColoredDeBruijnGraph.from_sequences(
+            bnp.as_encoded_array(["ACGT", "CGTT"], bnp.DNAEncoding), k=3)
+        colors = g["CGT"]  # k-mer present in both rows -> both colors
+        assert set(colors) == {0, 1}
+
+
+class TestIndexes:
+    def test_kmer_lookup(self, dna_seqs):
+        from bionumpy_tpu.sequence.indexing.kmer_indexing import KmerLookup
+        lookup = KmerLookup.create_lookup(dna_seqs, k=3)
+        seqs = lookup.get_sequences("ACG")
+        assert len(seqs) == 2  # rows 0 and 2 contain ACG
+
+    def test_wildcard_index(self, dna_seqs):
+        from bionumpy_tpu.sequence.indexing.wildcard_index import (
+            WildCardIndex)
+        index = WildCardIndex.create_index(dna_seqs)
+        hits = index.get_indices("A.G")
+        assert 0 in hits and 2 in hits and 1 not in hits
+
+    def test_lookup_2d(self):
+        from bionumpy_tpu.sequence.lookup import Lookup
+        table = Lookup(np.arange(16).reshape(4, 4), bnp.DNAEncoding)
+        val = table["C", "G"]
+        assert int(np.asarray(val).reshape(())) == 1 * 4 + 2
+
+
+class TestStringMatchers:
+    def test_wildcard_matcher(self):
+        from bionumpy_tpu.sequence.string_matcher import (
+            construct_wildcard_matcher)
+        seqs = bnp.as_encoded_array(["ACGT", "AGGT"], bnp.DNAEncoding)
+        m = construct_wildcard_matcher("A.G", bnp.DNAEncoding)
+        hits = m.rolling_window(seqs)
+        np.testing.assert_array_equal(np.asarray(hits.to_numpy_array()),
+                                      [[True, False], [True, False]])
+
+    def test_fixed_len_regex(self):
+        from bionumpy_tpu.sequence.string_matcher import RegexMatcher
+        seqs = bnp.as_encoded_array(["ACGT", "TTTT"], bnp.DNAEncoding)
+        matcher = RegexMatcher("AC[GT]", encoding=bnp.DNAEncoding)
+        hits = matcher.rolling_window(seqs, mode="same")
+        assert bool(hits[0, 0]) is True
+        assert not np.any(hits[1])
+
+    def test_flexible_len_regex(self):
+        from bionumpy_tpu.sequence.string_matcher import RegexMatcher
+        seqs = bnp.as_encoded_array(["ACGGT", "ACT"], bnp.DNAEncoding)
+        # .{m,n} gaps expand to ACT / AC.T / AC..T fixed matchers
+        matcher = RegexMatcher("AC.{0,2}T", encoding=bnp.DNAEncoding)
+        hits = matcher.rolling_window(seqs, mode="same")
+        assert bool(np.any(hits[0]))
+        assert bool(np.any(hits[1]))
+
+
+class TestMemoryMapping:
+    def test_roundtrip(self, tmp_path, dna_seqs):
+        from bionumpy_tpu.streams.memory_mapping import (
+            MemMapEncodedRaggedArray)
+        base = str(tmp_path / "seqs")
+        MemMapEncodedRaggedArray.create(lambda: iter([dna_seqs]), base)
+        loaded = MemMapEncodedRaggedArray.load(base)
+        assert loaded.tolist() == dna_seqs.tolist()
+        assert loaded.encoding == dna_seqs.encoding
+
+
+class TestStreamHelpers:
+    def test_quantile(self):
+        from bionumpy_tpu.streams import quantile
+        from bionumpy_tpu.streams.stream import BnpStream
+        chunks = BnpStream(iter([np.array([1, 2, 3]), np.array([4, 5])]))
+        assert quantile(chunks, 0.5) == 3
+
+    def test_histogram_stream(self):
+        from bionumpy_tpu.streams import histogram
+        from bionumpy_tpu.streams.stream import BnpStream
+        chunks = BnpStream(
+            iter([np.array([0.5, 1.5]), np.array([1.6, 2.5])]))
+        counts, edges = histogram(chunks, bins=3, range=(0, 3))
+        np.testing.assert_array_equal(counts, [1, 2, 1])
+
+    def test_left_join(self):
+        from bionumpy_tpu.streams.left_join import left_join
+        left = [("chr1", 1), ("chr2", 2)]
+        right = [("chr1", 10)]
+        joined = [tuple(j) for j in left_join(iter(left), iter(right))]
+        assert joined == [("chr1", 1, 10), ("chr2", 2, None)]
+
+    def test_chromosome_map(self):
+        from bionumpy_tpu.streams import chromosome_map, grouped_stream
+
+        @chromosome_map(reduction=sum)
+        def count(intervals):
+            return len(intervals)
+
+        grouped = grouped_stream(iter([("chr1", [1, 2]), ("chr2", [3])]))
+        assert count(grouped) == 3
+
+
+class TestGeometry:
+    @pytest.fixture
+    def geometry(self):
+        from bionumpy_tpu.genomic_data.geometry import Geometry
+        return Geometry({"chr1": 100, "chr2": 50})
+
+    @pytest.fixture
+    def intervals(self):
+        return bnp.datatypes.Interval(chromosome=["chr1", "chr1", "chr2"],
+                                      start=[0, 50, 10], stop=[20, 80, 30])
+
+    def test_jaccard(self, geometry, intervals):
+        assert geometry.jaccard(intervals, intervals) == pytest.approx(1.0)
+
+    def test_pileup_and_mask(self, geometry, intervals):
+        pileup = geometry.get_pileup(intervals)
+        assert int(np.asarray(pileup["chr1"][10])) == 1
+        mask = geometry.get_mask(intervals)
+        assert bool(np.asarray(mask["chr2"][15]))
+
+    def test_extend_to_size_and_clip(self, geometry):
+        intervals = bnp.datatypes.Bed6(
+            chromosome=["chr1", "chr1", "chr2"], start=[0, 50, 10],
+            stop=[20, 80, 30], name=["a", "b", "c"], score=[0, 0, 0],
+            strand=["+", "-", "+"])
+        extended = geometry.extend_to_size(intervals, 40)
+        assert np.all(extended.stop - extended.start <= 40 + 0)
+        clipped = geometry.clip(extended)
+        assert np.all(clipped.stop <= 100)
+        assert np.all(clipped.start >= 0)
+
+    def test_merge_and_sort(self, geometry):
+        iv = bnp.datatypes.Interval(chromosome=["chr1", "chr1"],
+                                    start=[10, 15], stop=[20, 30])
+        merged = geometry.merge_intervals(iv)
+        assert len(merged) == 1
+        assert int(merged.stop[0]) == 30
+
+
+class TestPairsFormat:
+    PAIRS_TEXT = (
+        "## pairs format v1.0\n"
+        "#chromsize: chr1 100\n"
+        "r1\tchr1\t10\tchr1\t50\t+\t-\n"
+        "r2\tchr1\t20\tchr1\t60\t+\t+\n")
+
+    def test_parse(self, tmp_path):
+        path = tmp_path / "test.pairs"
+        path.write_text(self.PAIRS_TEXT)
+        data = bnp.open(str(path)).read()
+        assert len(data) == 2
+        assert list(data.pos1) == [10, 20]
+        assert data.chrom2.tolist() == ["chr1", "chr1"]
+
+
+class TestCli:
+    def test_cli_wrapper_file_io(self, tmp_path):
+        from bionumpy_tpu.cli import CliWrapper
+        from bionumpy_tpu.datatypes import SequenceEntry
+
+        def upper_names(entries: SequenceEntry) -> SequenceEntry:
+            return entries
+
+        wrapped = CliWrapper()(upper_names)
+        src = tmp_path / "in.fa"
+        src.write_text(">a\nACGT\n>b\nGGTT\n")
+        out = tmp_path / "out.fa"
+        wrapped(str(src), output=str(out))
+        assert bnp.open(str(out)).read().sequence.tolist() == \
+            ["ACGT", "GGTT"]
+
+
+class TestPlotting:
+    def test_plot_encoded_counts_smoke(self, dna_seqs, monkeypatch):
+        matplotlib = pytest.importorskip("matplotlib")
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        monkeypatch.setattr(plt, "show", lambda: None)
+        counts = bnp.count_encoded(dna_seqs.ravel())
+        bnp.plot(counts)
+
+
+class TestFormatting:
+    def test_table(self):
+        from bionumpy_tpu.util.formating import table
+        text = table([("a", 1), ("b", 2)], headers=["name", "count"])
+        assert "name" in text and "a" in text
+
+    def test_interleave(self):
+        from bionumpy_tpu.util import interleave
+        out = interleave(np.array([1, 3]), np.array([2, 4]))
+        np.testing.assert_array_equal(out, [1, 2, 3, 4])
+
+    def test_is_subclass_or_instance(self):
+        from bionumpy_tpu.util import is_subclass_or_instance
+        assert is_subclass_or_instance(bnp.DNAEncoding,
+                                       type(bnp.DNAEncoding))
