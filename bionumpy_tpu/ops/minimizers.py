@@ -17,6 +17,26 @@ def _pair_min(hi_a, lo_a, hi_b, lo_b):
 
 
 @partial(jax.jit, static_argnames=("k", "n_kmers"))
+def minimizer_limbs_packed(words: jnp.ndarray, k: int, n_kmers: int):
+    """(lo, hi) minimum k-mer hash limbs over each `n_kmers`-window from
+    2-bit-packed words (0.25 B/base H2D; validity is the caller's
+    affair, mirroring kmer_limbs_packed)."""
+    from .kmers import _window_limbs
+    n = (words.shape[0] - 2) * 16
+    lo, hi = _window_limbs(words, n, k)
+    span = 1
+    while span < n_kmers:
+        step = min(span, n_kmers - span)
+        hi_shift = jnp.concatenate([hi[step:],
+                                    jnp.full(step, 0xFFFFFFFF, jnp.uint32)])
+        lo_shift = jnp.concatenate([lo[step:],
+                                    jnp.full(step, 0xFFFFFFFF, jnp.uint32)])
+        hi, lo = _pair_min(hi, lo, hi_shift, lo_shift)
+        span += step
+    return lo, hi
+
+
+@partial(jax.jit, static_argnames=("k", "n_kmers"))
 def minimizer_limbs(codes_padded: jnp.ndarray, dist_padded: jnp.ndarray,
                     k: int, n_kmers: int):
     """(lo, hi, valid) of the minimum k-mer hash over each window of

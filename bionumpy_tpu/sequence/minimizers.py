@@ -61,15 +61,14 @@ def get_minimizers(sequence, k: int, window_size: int) -> EncodedRaggedArray:
 def _device_minimizers(sequence: EncodedRaggedArray, k: int,
                        window_size: int) -> EncodedRaggedArray:
     import jax.numpy as jnp
-    from ..ops.kmers import prepare_codes
-    from ..ops.minimizers import minimizer_limbs
+    from ..ops.kmers import prepare_packed
+    from ..ops.minimizers import minimizer_limbs_packed
 
     flat = np.asarray(sequence.ravel().raw())
     lengths = np.asarray(sequence.lengths)
     n_kmers = window_size - k + 1
-    codes, dist, n = prepare_codes(flat, lengths)
-    lo, hi, _ = minimizer_limbs(jnp.asarray(codes), jnp.asarray(dist), k,
-                                n_kmers)
+    words, _, n = prepare_packed(flat, lengths)
+    lo, hi = minimizer_limbs_packed(jnp.asarray(words), k, n_kmers)
     lo = np.asarray(lo[:n])
     hi = np.asarray(hi[:n])
     hashes = (lo.astype(np.uint64) |
