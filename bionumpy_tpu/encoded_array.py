@@ -204,6 +204,10 @@ class EncodedArray:
         return bytes(raw).decode("ascii")
 
     def tolist(self):
+        if not self.encoding.is_one_to_one_encoding() and \
+                self.data.ndim >= 1:
+            # categorical (e.g. StringEncoding): one label per element
+            return [self.encoding.to_string(e) for e in self.data]
         return self.to_string()
 
     def __str__(self):

@@ -48,6 +48,18 @@ class GenomicLocation(GenomicPlace):
     def from_data(cls, data, genome_context, is_stranded=None,
                   chromosome_name: str = "chromosome",
                   position_name: str = "position") -> "GenomicLocation":
+        if isinstance(data, Node) or not isinstance(data, BNPDataClass):
+            if not isinstance(data, BNPDataClass):
+                # chunk stream -> per-chromosome stream node
+                entry_class = StrandedLocationEntry if is_stranded else \
+                    LocationEntry
+                data = StreamNode(
+                    genome_context.iter_chromosomes(data, entry_class))
+            return GenomicLocationStreamed(
+                data, genome_context, bool(is_stranded),
+                field_dict={"chromosome": chromosome_name,
+                            "position": position_name,
+                            "strand": "strand"})
         if is_stranded is None:
             is_stranded = hasattr(data, "strand")
         return GenomicLocationGlobal(data, genome_context, is_stranded,
@@ -133,6 +145,91 @@ class GenomicLocationGlobal(GenomicLocation):
                                  self._genome_context.encoding)
         args = np.lexsort((self.position, chrom.raw()))
         return self[args]
+
+
+class GenomicLocationStreamed(GenomicLocation):
+    """Per-chromosome lazily evaluated locations: attribute access
+    builds ComputationNodes evaluated chromosome-by-chromosome
+    (reference: bionumpy/genomic_data/genomic_intervals.py:291-443)."""
+
+    is_stream = True
+
+    def __init__(self, data_node: Node, genome_context,
+                 is_stranded: bool = False,
+                 field_dict: Optional[dict] = None):
+        if field_dict is None:
+            field_dict = {name: name
+                          for name in ("chromosome", "position", "strand")}
+        self._data_node = data_node
+        self._genome_context = genome_context
+        self._is_stranded = is_stranded
+        self._field_dict = field_dict
+
+    def __repr__(self):
+        return "GLS:" + str(self._data_node)
+
+    def is_stranded(self) -> bool:
+        return self._is_stranded
+
+    def _field_node(self, name: str) -> ComputationNode:
+        return ComputationNode(getattr, [self._data_node, name])
+
+    @property
+    def chromosome(self) -> ComputationNode:
+        return self._field_node(self._field_dict["chromosome"])
+
+    @property
+    def position(self) -> ComputationNode:
+        return self._field_node(self._field_dict["position"])
+
+    @property
+    def strand(self) -> ComputationNode:
+        assert self._is_stranded
+        return self._field_node(self._field_dict["strand"])
+
+    def get_data_field(self, field_name: str) -> ComputationNode:
+        return self._field_node(field_name)
+
+    def sorted(self):
+        return NotImplemented
+
+    def __getitem__(self, idx):
+        return self.__class__(
+            ComputationNode(lambda x, i: x[i], [self._data_node, idx]),
+            self._genome_context, self._is_stranded, self._field_dict)
+
+    def get_windows(self, flank: Optional[int] = None,
+                    window_size: Optional[int] = None) -> "GenomicIntervals":
+        """Clipped windows around the locations, as streamed intervals."""
+        assert (flank is None) != (window_size is None), \
+            "specify exactly one of flank/window_size"
+        if flank is None:
+            flank_left = window_size // 2
+            flank_right = window_size // 2 + window_size % 2
+        else:
+            flank_left = flank
+            flank_right = flank + 1
+        position = self.position
+        if self._is_stranded:
+            intervals = ComputationNode(
+                StrandedInterval, [self.chromosome, position - flank_left,
+                                   position + flank_right, self.strand])
+        else:
+            intervals = ComputationNode(
+                Interval, [self.chromosome, position - flank_left,
+                           position + flank_right])
+        return GenomicIntervalsStreamed(
+            intervals, self._genome_context,
+            is_stranded=self._is_stranded).clip()
+
+    def compute(self) -> "GenomicLocationGlobal":
+        chunks = [c for c in ComputationNode(
+            lambda d: d, [self._data_node]).get_iter() if len(c)]
+        data = np.concatenate(chunks) if chunks else LocationEntry.empty()
+        return GenomicLocationGlobal(
+            data, self._genome_context, self._is_stranded,
+            chromosome_name=self._field_dict["chromosome"],
+            position_name=self._field_dict["position"])
 
 
 class GenomicIntervals(GenomicPlace):
@@ -335,6 +432,11 @@ class GenomicIntervalsFull(GenomicIntervals):
                                         self._genome_context,
                                         self._is_stranded)
 
+    def get_sorted_stream(self) -> "GenomicIntervalsStreamed":
+        """Sort, then stream per chromosome (reference:
+        bionumpy/genomic_data/genomic_intervals.py:845-847)."""
+        return self.sorted().as_stream()
+
 
 class GenomicIntervalsStreamed(GenomicIntervals):
     """Per-chromosome lazily evaluated intervals (reference:
@@ -431,6 +533,16 @@ class GenomicIntervalsStreamed(GenomicIntervals):
         data = np.concatenate(chunks) if chunks else Interval.empty()
         return GenomicIntervalsFull(data, self._genome_context,
                                     self._is_stranded)
+
+    def get_location(self, where: str = "start") -> GenomicLocation:
+        """Streamed locations at 'start' of the intervals (reference:
+        bionumpy/genomic_data/genomic_intervals.py:980-998)."""
+        assert where == "start" and not self.is_stranded(), \
+            "streamed get_location supports where='start', unstranded"
+        return GenomicLocationStreamed(
+            self._intervals_node, self._genome_context, False,
+            field_dict={"chromosome": "chromosome", "position": "start",
+                        "strand": "strand"})
 
     def __repr__(self):
         return f"Streamed genomic intervals on {self._genome_context}"

@@ -160,6 +160,20 @@ class GenomicArrayGlobal(GenomicArray, np.lib.mixins.NDArrayOperatorsMixin):
             for name, start, stop in zip(names, starts, stops)]
         return np.concatenate(parts)
 
+    def to_bedgraph(self) -> BedGraph:
+        """Whole-genome BedGraph of the run-length values (reference:
+        bionumpy/genomic_data/genomic_track.py:33-34 protocol)."""
+        go = self._genome_context.global_offset
+        names = go.names()
+        starts = go.get_offset(names)
+        stops = starts + go.get_size(names)
+        parts = []
+        for name, start, stop in zip(names, starts, stops):
+            rle = self._global_track[int(start): int(stop)]
+            parts.append(BedGraph([name] * len(rle.starts), rle.starts,
+                                  rle.ends, rle.values))
+        return np.concatenate(parts)
+
     def extract_intervals(self, intervals,
                           stranded: bool = False) -> RunLengthRaggedArray:
         starts, stops = self._genome_context.global_offset \
@@ -260,6 +274,36 @@ class GenomicArrayNode(GenomicArray, np.lib.mixins.NDArrayOperatorsMixin):
 
     def to_dict(self):
         return self.compute().to_dict()
+
+    def to_bedgraph(self) -> BedGraph:
+        return self.compute().to_bedgraph()
+
+    def extract_locations(self, locations) -> ComputationNode:
+        def _extract(track, positions):
+            return track[np.asarray(positions)]
+        positions = getattr(locations, "position", locations)
+        return ComputationNode(_extract,
+                               [self._run_length_node, positions])
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, GenomicRunLengthArray],
+                  genome_context=None) -> "GenomicArrayNode":
+        if genome_context is None:
+            genome_context = GenomeContext.from_dict(
+                {name: len(a) for name, a in d.items()},
+                filter_function=None)
+        values = [v if isinstance(v, GenomicRunLengthArray)
+                  else GenomicRunLengthArray.from_rle(v)
+                  for v in d.values()]
+        return cls(StreamNode(iter(values)), genome_context)
+
+    @classmethod
+    def from_stream(cls, stream: Iterable[Tuple[str, GenomicRunLengthArray]],
+                    genome_context) -> "GenomicArrayNode":
+        values = (a if isinstance(a, GenomicRunLengthArray)
+                  else GenomicRunLengthArray.from_rle(a)
+                  for _, a in stream)
+        return cls(StreamNode(values), genome_context)
 
     @property
     def genome_context(self):

@@ -163,3 +163,63 @@ def test_read_track_stream_matches_full(example_data):
     s_full = float(np.asarray(np.sum(genome.read_track(bdg))))
     assert np.isclose(s_stream, s_full)
     assert s_full > 0
+
+
+def test_to_bedgraph_roundtrip(genome):
+    bedgraph = BedGraph(chromosome=["chr1", "chr1", "chr2"],
+                        start=[0, 10, 0], stop=[5, 15, 5], value=[1, 2, 3])
+    track = genome.get_track(bedgraph)
+    out = track.to_bedgraph()
+    # round-trip: reading the produced bedgraph back yields the same track
+    track2 = genome.get_track(out)
+    np.testing.assert_array_equal(track["chr1"].to_array(),
+                                  track2["chr1"].to_array())
+    np.testing.assert_array_equal(track["chr2"].to_array(),
+                                  track2["chr2"].to_array())
+
+
+def test_streamed_locations_windows(genome, intervals):
+    streamed = genome.get_intervals(intervals).as_stream()
+    locations = streamed.get_location("start")
+    from bionumpy_tpu.genomic_data.genomic_intervals import (
+        GenomicLocationStreamed)
+    assert isinstance(locations, GenomicLocationStreamed)
+    windows = locations.get_windows(flank=2)
+    full = windows.compute()
+    # same result as the non-streamed path
+    want = genome.get_intervals(intervals).get_location("start") \
+        .get_windows(flank=2)
+    np.testing.assert_array_equal(np.asarray(full.start),
+                                  np.asarray(want.data.start))
+    np.testing.assert_array_equal(np.asarray(full.stop),
+                                  np.asarray(want.data.stop))
+
+
+def test_streamed_locations_compute(genome, intervals):
+    streamed = genome.get_intervals(intervals).as_stream()
+    locs = streamed.get_location("start").compute()
+    np.testing.assert_array_equal(np.asarray(locs.position), [0, 10, 0])
+
+
+def test_get_sorted_stream(genome):
+    iv = Interval(chromosome=["chr2", "chr1", "chr1"], start=[0, 10, 0],
+                  stop=[5, 15, 5])
+    stream = genome.get_intervals(iv).get_sorted_stream()
+    full = stream.compute()
+    assert np.asarray(full.data.start).tolist() == [0, 10, 0]
+    assert full.data.chromosome.tolist() == ["chr1", "chr1", "chr2"]
+
+
+def test_genomic_array_node_from_dict_and_locations(genome):
+    from bionumpy_tpu.arithmetics.intervals import GenomicRunLengthArray
+    d = {"chr1": GenomicRunLengthArray.from_array(
+            np.arange(20, dtype=float)),
+         "chr2": GenomicRunLengthArray.from_array(
+            np.arange(10, dtype=float))}
+    from bionumpy_tpu.genomic_data.genomic_track import (GenomicArrayGlobal,
+                                                         GenomicArrayNode)
+    node = GenomicArrayNode.from_dict(d)
+    full = node.compute()
+    np.testing.assert_array_equal(full["chr1"].to_array(), np.arange(20))
+    glob = GenomicArrayGlobal.from_dict(d)
+    np.testing.assert_array_equal(glob["chr2"].to_array(), np.arange(10))
