@@ -315,3 +315,25 @@ def clip(intervals, chrom_sizes):
     return replace(intervals,
                    start=np.maximum(0, intervals.start),
                    stop=np.minimum(chrom_sizes, intervals.stop))
+
+
+def pileup(intervals) -> "BedGraph":
+    """Flat pileup over one chromosome's intervals: concat starts/stops,
+    mergesort, +/-1 cumsum, merge equal-value runs (reference:
+    bionumpy/arithmetics/intervals.py:405-423)."""
+    from ..datatypes import BedGraph
+    chroms = np.concatenate([intervals.chromosome, intervals.chromosome])
+    positions = np.concatenate((intervals.start, intervals.stop))
+    args = np.argsort(positions, kind="mergesort")
+    values = np.where(args >= len(intervals), -1, 1)
+    np.cumsum(values, out=values)
+    positions = positions[args]
+    windows = np.lib.stride_tricks.sliding_window_view(positions, 2)
+    mask = np.flatnonzero(windows[:, 0] == windows[:, 1])
+    windows = np.delete(windows, mask, axis=0)
+    values = np.delete(values, mask)
+    mask = np.flatnonzero(values[1:] == values[:-1])
+    values = np.delete(values, mask)
+    starts = np.delete(windows[:, 0], mask + 1)
+    stops = np.delete(windows[:, 1], mask)
+    return BedGraph(chroms[: values.size - 1], starts, stops, values[:-1])

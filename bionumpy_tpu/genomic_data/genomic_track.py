@@ -52,6 +52,12 @@ class GenomicData:
 
 
 class GenomicArray(GenomicData):
+    def sum(self, axis=None):
+        raise NotImplementedError
+
+    def to_bedgraph(self) -> "BedGraph":
+        raise NotImplementedError
+
     @classmethod
     def from_global_data(cls, global_pileup: GenomicRunLengthArray,
                          genome_context) -> "GenomicArray":

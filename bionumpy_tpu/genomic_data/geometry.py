@@ -132,3 +132,17 @@ class StreamedGeometry(GeometryBase):
         return ComputationNode(extend_to_size,
                                [StreamNode(filled), fragment_length,
                                 size_stream])
+
+    def clip(self, intervals):
+        from ..computation_graph import ComputationNode, StreamNode
+        filled = self._genome_context.iter_chromosomes(intervals, Interval)
+        size_stream = StreamNode(iter(
+            self._genome_context.chrom_sizes.values()))
+        return ComputationNode(clip_intervals,
+                               [StreamNode(filled), size_stream])
+
+    def merge_intervals(self, intervals, distance: int = 0):
+        from ..computation_graph import ComputationNode, StreamNode
+        filled = self._genome_context.iter_chromosomes(intervals, Interval)
+        return ComputationNode(merge_intervals, [StreamNode(filled)],
+                               {"distance": distance})

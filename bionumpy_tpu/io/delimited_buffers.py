@@ -113,6 +113,21 @@ class DelimitedBuffer(FileBuffer):
         return self._buffer_extractor.get_field_by_number(col,
                                                           keep_sep=keep_sep)
 
+    @property
+    def entries(self):
+        """Whole entry lines (incl. trailing newline) as a ragged array
+        (reference: bionumpy/io/delimited_buffers.py:90-95)."""
+        from ..encoded_array import EncodedRaggedArray
+        from ..ragged import RaggedShape, RaggedView
+        ex = self._buffer_extractor
+        starts = ex._field_starts[:, 0]
+        ends = ex._field_starts[:, -1] + ex._field_lens[:, -1] + 1
+        data = ex.data
+        flat = data.raw()[RaggedView(starts,
+                                     ends - starts).get_flat_indices()]
+        return EncodedRaggedArray(data.__class__(flat, data.encoding),
+                                  RaggedShape(ends - starts))
+
     @classmethod
     def join_fields(cls, fields_list) -> EncodedArray:
         return join_columns(fields_list, cls.DELIMITER).ravel()

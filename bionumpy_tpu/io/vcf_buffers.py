@@ -284,3 +284,8 @@ class PhasedVCFMatrixBuffer(VCFMatrixBuffer):
 class PhasedHaplotypeVCFMatrixBuffer(VCFMatrixBuffer):
     dataclass = PhasedVCFHaplotypeEntry
     genotype_encoding = PhasedHaplotypeRowEncoding
+
+
+class VCFHaplotypeBuffer(VCFBuffer2):
+    """Alias buffer reading genotype columns as raw strings
+    (reference: bionumpy/io/vcf_buffers.py:316-317)."""

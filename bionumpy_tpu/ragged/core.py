@@ -279,6 +279,8 @@ class RaggedArray:
 
     def _getitem_tuple(self, idx):
         row_idx, col_idx = idx
+        if row_idx is Ellipsis:
+            row_idx = slice(None)
         if isinstance(row_idx, (int, np.integer)):
             return self[row_idx][col_idx]
         if isinstance(row_idx, slice) and row_idx == slice(None):

@@ -30,6 +30,36 @@ class DeBruijnGraph:
         base = int(kmer) >> 2
         return [base + (i << (2 * (self._k - 1))) for i in range(4)]
 
+    @property
+    def kmers(self):
+        """Sorted k-mer strings in the graph."""
+        return sorted(self._kmer_encoding.to_string(k)
+                      for k in self._kmer_set)
+
+    def get_contigs(self):
+        """Maximal non-branching paths (unitigs) as strings."""
+        contigs = []
+        visited = set()
+        for start in sorted(self._kmer_set):
+            if start in visited:
+                continue
+            s = self._kmer_encoding.to_string(start)
+            if len(self.backward(s)) == 1:
+                continue  # not a path start
+            contig = s
+            visited.add(start)
+            nxt = self.forward(contig[-len(s):])
+            while len(nxt) == 1:
+                nxt_str = nxt[0]
+                code = int(self._kmer_encoding.encode(nxt_str).raw())
+                if code in visited or len(self.backward(nxt_str)) != 1:
+                    break
+                visited.add(code)
+                contig += nxt_str[-1]
+                nxt = self.forward(nxt_str)
+            contigs.append(contig)
+        return contigs
+
     def forward(self, kmer):
         kmer = int(as_encoded_array(kmer, self._kmer_encoding).raw())
         return [self._kmer_encoding.to_string(n)

@@ -28,6 +28,27 @@ from .rollable import RollableFunction
 logger = logging.getLogger(__name__)
 
 
+def convolution(func):
+    """Decorator applying a flat windowed function over a ragged array and
+    trimming the window_size-1 garbage windows at each row end
+    (reference: bionumpy/sequence/kmers.py:90-103)."""
+    def new_func(_sequence, window_size, *args, **kwargs):
+        shape, sequence = _sequence.shape, _sequence.ravel()
+        convoluted = func(sequence, window_size, *args, **kwargs)
+        if not isinstance(shape[-1], np.ndarray):
+            out = convoluted.reshape(shape)
+        else:
+            from ..ragged import RaggedArray, RaggedShape
+            wrapper = EncodedRaggedArray if \
+                isinstance(convoluted, EncodedArray) else RaggedArray
+            out = wrapper(convoluted, RaggedShape(shape[-1]))
+        if window_size == 1:
+            return out
+        return out[..., : (-window_size + 1)]
+
+    return new_func
+
+
 class KmerEncoder(RollableFunction):
     """Hash function object for one k-length window
     (reference: bionumpy/sequence/kmers.py:17-33)."""

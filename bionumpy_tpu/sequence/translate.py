@@ -25,7 +25,15 @@ class DNAToProtein:
         return self.lookup_table[np.asarray(kmer_hash)]
 
 
-class Translate:
+class WindowFunction:
+    """Base for fixed-window functions over whole-row-multiple windows
+    (reference: bionumpy/sequence/translate.py:23-31)."""
+
+    def windowed(self, sequences):
+        return self.__call__(sequences)
+
+
+class Translate(WindowFunction):
     def __init__(self, table=DNAToProtein()):
         self._table = table
         self._encoding = table.from_encoding

@@ -26,6 +26,11 @@ class SNPEncoding:
         return cls.text[encoded]
 
     @classmethod
+    def decode(cls, encoded):
+        """Class labels ('C>A', ...) for encoded SNS codes."""
+        return cls.text[np.asarray(encoded)]
+
+    @classmethod
     def encode(cls, snp):
         values = cls.lookup[snp.ref_seq, snp.alt_seq]
         assert not np.any(values == 255)

@@ -263,3 +263,74 @@ class TestFormatting:
         from bionumpy_tpu.util import is_subclass_or_instance
         assert is_subclass_or_instance(bnp.DNAEncoding,
                                        type(bnp.DNAEncoding))
+
+
+class TestParityAdditions:
+    def test_flat_pileup_bedgraph(self):
+        from bionumpy_tpu.arithmetics.intervals import pileup
+        iv = bnp.datatypes.Interval(chromosome=["chr1"] * 3,
+                                    start=[0, 2, 10], stop=[5, 7, 12])
+        bg = pileup(iv)
+        # depth: [0,2)=1, [2,5)=2, [5,7)=1, [10,12)=1
+        assert list(bg.start) == [0, 2, 5, 7, 10]
+        assert list(bg.value) == [1, 2, 1, 0, 1]
+
+    def test_delimited_buffer_entries(self):
+        from bionumpy_tpu.io.delimited_buffers import BedBuffer
+        text = "chr1\t1\t5\nchr2\t2\t8\n"
+        buf = BedBuffer.from_raw_buffer(
+            np.frombuffer(text.encode(), dtype=np.uint8))
+        entries = buf.entries
+        assert entries.tolist() == ["chr1\t1\t5\n", "chr2\t2\t8\n"]
+
+    def test_gfa_path_buffer(self):
+        from bionumpy_tpu.io.gfa import GfaPathBuffer
+        text = "P\tpath1\t11+,12-,13+\t*\nP\tpath2\t21-,22+\t*\n"
+        buf = GfaPathBuffer.from_raw_buffer(
+            np.frombuffer(text.encode(), dtype=np.uint8))
+        data = buf.get_data()
+        assert data.name.tolist() == ["path1", "path2"]
+        assert data.node_ids.tolist() == [[11, 12, 13], [21, 22]]
+        assert data.directions.tolist() == [[1, -1, 1], [-1, 1]]
+
+    def test_debruijn_contigs_and_kmers(self):
+        from bionumpy_tpu.sequence.debruijn import DeBruijnGraph
+        g = DeBruijnGraph.from_sequences(
+            bnp.as_encoded_array(["ACGTT"], bnp.DNAEncoding), k=3)
+        assert "ACG" in g.kmers
+        contigs = g.get_contigs()
+        assert any("ACGTT" in c for c in contigs)
+
+    def test_snp_encoding_decode(self):
+        from bionumpy_tpu.variants.mutation_signature import SNPEncoding
+        labels = SNPEncoding.decode(np.array([0, 3]))
+        assert list(labels) == ["C>A", "T>A"]
+
+    def test_convolution_decorator(self):
+        from bionumpy_tpu.sequence.kmers import convolution
+
+        @convolution
+        def window_sum(flat, w):
+            raw = np.asarray(flat.raw()).astype(int)
+            out = np.zeros(len(raw), dtype=int)
+            for i in range(w):
+                out += np.roll(raw, -i)
+            return out
+
+        seqs = bnp.as_encoded_array(["ACGT", "AC"], bnp.DNAEncoding)
+        result = window_sum(seqs, 2)
+        assert result.tolist() == [[1, 3, 5], [1]]
+
+    def test_simulate_rng_seed(self):
+        from bionumpy_tpu.simulate import rng
+        rng.seed(42)
+        a = rng.default_rng().integers(0, 100, 5)
+        rng.seed(42)
+        b = rng.default_rng().integers(0, 100, 5)
+        np.testing.assert_array_equal(a, b)
+
+    def test_vcf_haplotype_buffer_importable(self):
+        from bionumpy_tpu.io.vcf_buffers import (
+            PhasedHaplotypeVCFMatrixBuffer, VCFHaplotypeBuffer)
+        assert VCFHaplotypeBuffer.dataclass is not None
+        assert PhasedHaplotypeVCFMatrixBuffer.dataclass is not None
