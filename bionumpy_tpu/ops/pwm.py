@@ -32,6 +32,26 @@ def pwm_scores(codes: jnp.ndarray, matrix: jnp.ndarray, window_size: int):
 
 
 @partial(jax.jit, static_argnames=("window_size",))
+def pwm_scores_packed(words: jnp.ndarray, matrix: jnp.ndarray,
+                      window_size: int):
+    """4-letter-alphabet variant taking 2-bit-packed uint32 words
+    (0.25 B/base over the host->device link); codes unpack on device
+    with one shift table, then the same offset-shifted LUT accumulate."""
+    n = words.shape[0] * 16
+    p0 = jnp.repeat(words, 16)
+    bit = jnp.tile(jnp.arange(16, dtype=jnp.uint32) * 2,
+                   words.shape[0])
+    codes = ((p0 >> bit) & 3).astype(jnp.int32)
+    scores = jnp.zeros(n, dtype=jnp.float32)
+    for offset in range(window_size):
+        column = matrix[:, offset]
+        shifted = jnp.concatenate(
+            [codes[offset:], jnp.zeros(offset, dtype=jnp.int32)])
+        scores = scores + jnp.take(column, shifted)
+    return scores
+
+
+@partial(jax.jit, static_argnames=("window_size",))
 def pwm_best_scores(codes: jnp.ndarray, dist: jnp.ndarray,
                     matrix: jnp.ndarray, window_size: int):
     """(max_score, count_above) helpers for motif matching; invalid
