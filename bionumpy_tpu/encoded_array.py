@@ -247,6 +247,8 @@ class EncodedArray:
     def __setitem__(self, idx, value):
         value = as_encoded_array(value, self.encoding)
         self.data[idx] = value.data
+        from .ops.resident import invalidate
+        invalidate(self)
 
     # -- comparison -----------------------------------------------------------
     def _comparand(self, other):
@@ -371,6 +373,8 @@ class EncodedRaggedArray(RaggedArray):
         else:
             raw = value
         super().__setitem__(idx, raw)
+        from .ops.resident import invalidate
+        invalidate(self)
 
     def _broadcast_other(self, other):
         if isinstance(other, (str, list, EncodedArray, EncodedRaggedArray)):

@@ -269,6 +269,70 @@ def pack_codes_host(flat_codes: np.ndarray, n_positions: int) -> np.ndarray:
 
 
 @partial(jax.jit, static_argnames=("k", "n_true"))
+def kmer_sorted_runs_packed(words: jnp.ndarray, ends: jnp.ndarray, k: int,
+                            n_true: int):
+    """Exact sparse k-mer counting core for k > 12 (4^k label spaces that
+    cannot be materialized): sort the valid 64-bit hashes on device and
+    compact them to (unique_lo, unique_hi, run_start) tables.
+
+    Counting via bincount is impossible here (the reference simply cannot
+    count such k: np.bincount(minlength=4**k),
+    reference: bionumpy/sequence/count_encoded.py:168-173); instead the
+    device two-key-sorts the (hi, lo) limb pairs, detects run starts, and
+    scatters the run heads into the FRONT of static-shape buffers.  The
+    host then fetches only the first n_unique entries (typically ~1000x
+    smaller than the position count), keeping D2H traffic proportional to
+    the DISTINCT kmers, not the bases.
+
+    Returns (uniq_lo, uniq_hi, run_starts, n_unique, n_valid); counts are
+    np.diff(run_starts[:U], append=n_valid) on host.
+    """
+    n_positions = (words.shape[0] - 2) * WORD_BASES
+    lo, hi = _window_limbs(words, n_positions, k)
+    # validity: window at i is invalid iff i in [e-k+1, e) for a row end
+    # e, or i is in the zero-padding tail
+    marks = jnp.zeros(n_positions + 1, jnp.int32)
+    marks = marks.at[jnp.maximum(ends - (k - 1), 0)].add(1)
+    marks = marks.at[ends].add(-1)
+    invalid_count = jnp.cumsum(marks[:-1])
+    pos = jnp.arange(n_positions, dtype=jnp.int32)
+    valid = (invalid_count == 0) & (pos < jnp.minimum(ends[-1], n_true))
+    # sentinel pushes invalid slots past every real hash (hi < 2^30 for
+    # k=31; for k <= 16 real hi is 0)
+    sentinel = jnp.uint32(0xFFFFFFFF)
+    hi_k = jnp.where(valid, hi, sentinel)
+    lo_k = jnp.where(valid, lo, sentinel)
+    hi_s, lo_s = jax.lax.sort((hi_k, lo_k), num_keys=2)
+    n_valid = valid.sum()
+    is_new = jnp.concatenate([
+        jnp.ones(1, bool),
+        (hi_s[1:] != hi_s[:-1]) | (lo_s[1:] != lo_s[:-1])])
+    is_start = is_new & (pos < n_valid)
+    n_unique = is_start.sum()
+    run_id = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+    idx = jnp.where(is_start, run_id, n_positions)
+    uniq_lo = jnp.zeros(n_positions + 1, jnp.uint32).at[idx].set(lo_s)[:-1]
+    uniq_hi = jnp.zeros(n_positions + 1, jnp.uint32).at[idx].set(hi_s)[:-1]
+    run_starts = jnp.zeros(n_positions + 1, jnp.int32).at[idx].set(pos)[:-1]
+    return uniq_lo, uniq_hi, run_starts, n_unique, n_valid
+
+
+def sparse_count_tables(words, ends, k: int, n_true: int):
+    """Host wrapper: run the device sort/compact and fetch ONLY the
+    compacted tables.  Returns (hashes uint64 sorted, counts int64)."""
+    uniq_lo, uniq_hi, run_starts, n_unique, n_valid = \
+        kmer_sorted_runs_packed(words, ends, k, n_true)
+    n_uni = int(np.asarray(n_unique))
+    n_val = int(np.asarray(n_valid))
+    lo = np.asarray(uniq_lo[:n_uni]).astype(np.uint64)
+    hi = np.asarray(uniq_hi[:n_uni]).astype(np.uint64)
+    starts = np.asarray(run_starts[:n_uni]).astype(np.int64)
+    hashes = lo | (hi << np.uint64(32))
+    counts = np.diff(starts, append=n_val)
+    return hashes, counts
+
+
+@partial(jax.jit, static_argnames=("k", "n_true"))
 def kmer_checksum_pipeline_packed(words: jnp.ndarray, ends: jnp.ndarray,
                                   k: int, n_true: int):
     """Packed-input variant of kmer_checksum_pipeline: only uint32 words

@@ -81,18 +81,17 @@ class KmerEncoder(RollableFunction):
 
 def _device_dna_kmers(sequence: EncodedRaggedArray,
                       k: int) -> EncodedRaggedArray:
-    """TPU path: host 2-bit pack (0.25 B/base H2D) -> (lo, hi) limb
-    kernel -> int64 host combine -> contiguous per-row gather of valid
-    windows."""
-    import jax.numpy as jnp
-    from ..ops.kmers import kmer_limbs_packed, prepare_packed
+    """TPU path: device-resident packed words (one H2D per chunk, cached
+    on the array — ops/resident.py) -> (lo, hi) limb kernel -> int64
+    host combine -> contiguous per-row gather of valid windows."""
+    from ..ops.kmers import kmer_limbs_packed
+    from ..ops.resident import device_seqs
 
-    flat = np.asarray(sequence.ravel().raw())
-    lengths = np.asarray(sequence.lengths)
-    words, _, n = prepare_packed(flat, lengths)
-    lo, hi = kmer_limbs_packed(jnp.asarray(words), k)
-    lo = np.asarray(lo[:n])
-    hi = np.asarray(hi[:n])
+    ds = device_seqs(sequence)
+    lengths = ds.lengths
+    lo, hi = kmer_limbs_packed(ds.words, k)
+    lo = np.asarray(lo[:ds.n])
+    hi = np.asarray(hi[:ds.n])
     hashes = (lo.astype(np.uint64) |
               (hi.astype(np.uint64) << np.uint64(32))).view(np.int64)
     out_lengths = np.maximum(lengths - k + 1, 0)
@@ -177,16 +176,14 @@ def _device_countable(sequence, k: int) -> bool:
 
 
 def _device_count_kmers(sequence, k: int) -> EncodedCounts:
-    import jax.numpy as jnp
-    from ..ops.kmers import kmer_count_small_packed, prepare_packed
+    from ..ops.kmers import kmer_count_small_packed
+    from ..ops.resident import device_seqs
 
     if isinstance(sequence, EncodedArray):
         sequence = EncodedRaggedArray(sequence, [len(sequence)])
-    flat = np.asarray(sequence.ravel().raw())
-    lengths = np.asarray(sequence.lengths)
-    words, ends, n = prepare_packed(flat, lengths)
+    ds = device_seqs(sequence)
     counts = np.asarray(kmer_count_small_packed(
-        jnp.asarray(words), jnp.asarray(ends), k, 4 ** k, n))
+        ds.words, ds.ends, k, 4 ** k, ds.n))
     encoding = KmerEncoding(sequence.encoding, k)
     if k <= 8:
         alphabet = encoding.get_labels()
@@ -205,24 +202,17 @@ def _device_sparse_countable(sequence, k: int) -> bool:
 
 def _device_count_kmers_sparse(sequence, k: int) -> SparseEncodedCounts:
     """Count k-mers whose label space cannot be enumerated (k up to 31):
-    the device rolling-hash kernel emits uint32 hash limbs, the host
-    keeps only the sorted table of observed (hash, count) pairs.  The
+    the device two-key-sorts the hash limbs and compacts them to
+    (hash, count) run tables (ops/kmers.kmer_sorted_runs_packed), so the
+    D2H transfer is proportional to the DISTINCT kmers only.  The
     reference cannot count these at all (bincount over 4**k,
     bionumpy/sequence/count_encoded.py:168-173)."""
-    import jax.numpy as jnp
-
-    from ..ops.device import distance_to_row_end
-    from ..ops.kmers import kmer_limbs_packed, prepare_packed
+    from ..ops.kmers import sparse_count_tables
+    from ..ops.resident import device_seqs
 
     if isinstance(sequence, EncodedArray):
         sequence = EncodedRaggedArray(sequence, [len(sequence)])
-    flat = np.asarray(sequence.ravel().raw())
-    lengths = np.asarray(sequence.lengths)
-    words, _, n = prepare_packed(flat, lengths)
-    lo, hi = kmer_limbs_packed(jnp.asarray(words), k)
-    lo = np.asarray(lo[:n]).astype(np.uint64)
-    hi = np.asarray(hi[:n]).astype(np.uint64)
-    valid = distance_to_row_end(lengths) >= k
-    hashes = (lo | (hi << np.uint64(32)))[valid]
+    ds = device_seqs(sequence)
+    hashes, counts = sparse_count_tables(ds.words, ds.ends, k, ds.n)
     encoding = KmerEncoding(sequence.encoding, k)
-    return SparseEncodedCounts.from_hashes(encoding, hashes)
+    return SparseEncodedCounts(encoding, hashes, counts.astype(np.int64))

@@ -60,17 +60,15 @@ def get_minimizers(sequence, k: int, window_size: int) -> EncodedRaggedArray:
 
 def _device_minimizers(sequence: EncodedRaggedArray, k: int,
                        window_size: int) -> EncodedRaggedArray:
-    import jax.numpy as jnp
-    from ..ops.kmers import prepare_packed
     from ..ops.minimizers import minimizer_limbs_packed
+    from ..ops.resident import device_seqs
 
-    flat = np.asarray(sequence.ravel().raw())
-    lengths = np.asarray(sequence.lengths)
+    ds = device_seqs(sequence)
+    lengths = ds.lengths
     n_kmers = window_size - k + 1
-    words, _, n = prepare_packed(flat, lengths)
-    lo, hi = minimizer_limbs_packed(jnp.asarray(words), k, n_kmers)
-    lo = np.asarray(lo[:n])
-    hi = np.asarray(hi[:n])
+    lo, hi = minimizer_limbs_packed(ds.words, k, n_kmers)
+    lo = np.asarray(lo[:ds.n])
+    hi = np.asarray(hi[:ds.n])
     hashes = (lo.astype(np.uint64) |
               (hi.astype(np.uint64) << np.uint64(32))).view(np.int64)
     out_lengths = np.maximum(lengths - window_size + 1, 0)

@@ -113,17 +113,19 @@ def _device_motif_scores(sequence: EncodedRaggedArray,
     from ..ops.device import bucket_size
     from ..ops.pwm import pwm_scores, pwm_scores_packed
 
+    if pwm.matrix.shape[0] <= 4 and \
+            getattr(sequence.encoding, "alphabet_size", 0) == 4:
+        # DNA-class alphabet: reuse the cached 2-bit-packed device words
+        # (one H2D per chunk shared with the kmer/minimizer kernels)
+        from ..ops.resident import device_seqs
+        ds = device_seqs(sequence)
+        scores = pwm_scores_packed(
+            ds.words, jnp.asarray(pwm.matrix, dtype=jnp.float32),
+            pwm.window_size)
+        return np.asarray(scores[:ds.n], dtype=float)
     flat = np.asarray(sequence.ravel().raw())
     n = len(flat)
     size = bucket_size(n + pwm.window_size, 1 << 14)
-    if pwm.matrix.shape[0] <= 4:
-        # DNA-class alphabet: 2-bit packed upload, device-side unpack
-        from ..ops.kmers import pack_codes_host
-        words = pack_codes_host(flat, size - 2 * 16)
-        scores = pwm_scores_packed(
-            jnp.asarray(words), jnp.asarray(pwm.matrix, dtype=jnp.float32),
-            pwm.window_size)
-        return np.asarray(scores[:n], dtype=float)
     codes = np.zeros(size, dtype=np.uint8)
     codes[:n] = flat
     scores = pwm_scores(jnp.asarray(codes),
