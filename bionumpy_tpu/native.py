@@ -57,6 +57,12 @@ def _load():
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
         ctypes.c_long, ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint32)]
+    lib.fastq_parse_pack.restype = ctypes.c_long
+    lib.fastq_parse_pack.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_long,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_int64)]
     _lib = lib
     return _lib
 
@@ -187,6 +193,80 @@ def _kmer_correction_sums_py(packed: np.ndarray, ends: np.ndarray,
     hi = int(np.sum(val >> np.uint64(32),
                     dtype=np.uint64) & np.uint64(0xFFFFFFFF))
     return lo, hi
+
+
+def fastq_parse_pack(raw: np.ndarray, out_bytes: int = None,
+                     n_threads: int = None):
+    """Fused FASTQ chunk parse: raw bytes (ending on an entry boundary)
+    -> (packed 2-bit words as uint8 of size out_bytes, int32 sequence
+    lengths, n_bases).  One multithreaded native pass replaces the
+    reference's separate newline-scan / field-gather / encode passes
+    (reference: bionumpy/io/one_line_buffer.py:36-71 +
+    bionumpy/io/fastq_buffer.py:14-61).
+
+    Raises FormatException-compatible ValueError with the byte offset of
+    the first malformed/unencodable byte."""
+    lib = _load()
+    raw = np.ascontiguousarray(raw, dtype=np.uint8)
+    n = len(raw)
+    if out_bytes is None:
+        out_bytes = n // 4 + 16
+    if lib is None:
+        return _fastq_parse_pack_py(raw, out_bytes)
+    if n_threads is None:
+        n_threads = min(8, os.cpu_count() or 1)
+    max_entries = n // 5 + 2   # an entry is at least '@\nA\n+\nB\n'... 8B
+    lengths = np.empty(max_entries, dtype=np.int32)
+    out = np.empty(out_bytes, dtype=np.uint8)
+    n_bases = np.zeros(1, dtype=np.int64)
+    res = lib.fastq_parse_pack(
+        raw.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), out_bytes,
+        lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        max_entries, n_threads,
+        n_bases.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    if res < 0:
+        raise ValueError(
+            f"malformed FASTQ chunk at byte {-res - 1}")
+    return out, lengths[:res].copy(), int(n_bases[0])
+
+
+def _fastq_parse_pack_py(raw: np.ndarray, out_bytes: int):
+    """Numpy twin of the native fused FASTQ parse."""
+    nl = np.flatnonzero(raw == 10)
+    if len(nl) % 4 != 0:
+        raise ValueError(f"malformed FASTQ chunk at byte {len(raw)}")
+    n_entries = len(nl) // 4
+    if n_entries == 0:
+        return np.zeros(out_bytes, np.uint8), np.empty(0, np.int32), 0
+    starts = np.insert(nl[:-1] + 1, 0, 0)
+    h_starts = starts[0::4]
+    p_starts = starts[2::4]
+    if not (np.all(raw[h_starts] == ord("@")) and
+            np.all(raw[p_starts] == ord("+"))):
+        bad = np.flatnonzero(raw[h_starts] != ord("@"))
+        pos = h_starts[bad[0]] if len(bad) else \
+            p_starts[np.flatnonzero(raw[p_starts] != ord("+"))[0]]
+        raise ValueError(f"malformed FASTQ chunk at byte {pos}")
+    s_starts = starts[1::4]
+    s_lens = nl[1::4] - s_starts
+    q_lens = nl[3::4] - starts[3::4]
+    if not np.all(q_lens == s_lens):
+        pos = starts[3::4][np.flatnonzero(q_lens != s_lens)[0]]
+        raise ValueError(f"malformed FASTQ chunk at byte {pos}")
+    enc = np.full(256, 255, np.uint8)
+    for i, cs in enumerate("ACGT"):
+        enc[ord(cs)] = i
+        enc[ord(cs.lower())] = i
+    idx = np.repeat(s_starts - np.insert(np.cumsum(s_lens)[:-1], 0, 0),
+                    s_lens) + np.arange(int(s_lens.sum()), dtype=np.int64)
+    codes = enc[raw[idx]]
+    bad = np.flatnonzero(codes == 255)
+    if len(bad):
+        raise ValueError(f"malformed FASTQ chunk at byte {idx[bad[0]]}")
+    n_bases = len(codes)
+    out = pack_2bit_fill(codes, out_bytes)
+    return out, s_lens.astype(np.int32), n_bases
 
 
 def pack_2bit(codes: np.ndarray) -> np.ndarray:

@@ -181,4 +181,185 @@ void kmer_correction_sums(const uint8_t* packed, long nbytes,
     out[1] = h;
 }
 
+// ---- fused FASTQ parse + encode + 2-bit pack ------------------------------
+//
+// The reference's ingest path is: newline scan -> field gather -> encode LUT
+// (bionumpy/io/one_line_buffer.py:36-71 + encoded_array encode) as separate
+// numpy passes.  For the device pipeline all we need from a FASTQ chunk is
+// the 2-bit-packed sequence stream + per-entry lengths, so this kernel does
+// the whole thing in one multithreaded pass over the raw bytes:
+//   phase 1 (parallel): newline positions via memchr
+//   phase 2 (serial, O(entries)): entry structure validation ('@'/'+'),
+//            sequence spans, lengths, base offsets
+//   phase 3 (parallel): encode+pack each thread's base range; boundary
+//            bytes (shared between threads at 2-bit granularity) are
+//            returned as fixups and OR-ed serially.
+
+struct SeqSpan { long start; long len; int64_t base_off; };
+
+static void scan_newlines(const uint8_t* raw, long lo, long hi,
+                          std::vector<long>* out) {
+    const uint8_t* p = raw + lo;
+    const uint8_t* end = raw + hi;
+    while (p < end) {
+        const uint8_t* nl = (const uint8_t*)std::memchr(p, '\n', end - p);
+        if (!nl) break;
+        out->push_back(nl - raw);
+        p = nl + 1;
+    }
+}
+
+// Encode+pack bases of entries' sequence spans covering the base range
+// [b_lo, b_hi).  Writes only bytes fully inside [b_lo, b_hi); partial
+// boundary bytes are accumulated into first_fix/last_fix (to be OR-ed by
+// the caller).  enc: 256-entry code table, 255 = invalid.
+// err_pos: set to the raw-buffer position of the first invalid byte.
+static void pack_entries_range(const uint8_t* raw, const SeqSpan* spans,
+                               long e_lo, long e_hi, int64_t b_lo,
+                               int64_t b_hi, const uint8_t* enc,
+                               uint8_t* out, uint8_t* first_fix,
+                               uint8_t* last_fix, long* err_pos) {
+    *err_pos = -1;
+    uint8_t acc = 0;
+    for (long e = e_lo; e < e_hi; ++e) {
+        const uint8_t* s = raw + spans[e].start;
+        int64_t base = spans[e].base_off;
+        for (long j = 0; j < spans[e].len; ++j) {
+            uint8_t code = enc[s[j]];
+            if (code == 255) {
+                if (*err_pos < 0) *err_pos = spans[e].start + j;
+                code = 0;
+            }
+            int64_t pos = base + j;
+            acc |= (uint8_t)(code << (2 * (pos & 3)));
+            if ((pos & 3) == 3) {
+                int64_t byte = pos >> 2;
+                // byte is fully owned iff all 4 positions are in range
+                if (pos - 3 >= b_lo && pos < b_hi) out[byte] = acc;
+                else if (pos - 3 < b_lo) *first_fix = acc;
+                acc = 0;
+            }
+        }
+    }
+    if (b_hi & 3) *last_fix = acc;  // trailing partial byte of the range
+}
+
+// Parse a FASTQ chunk that ends on an entry boundary.
+//   raw, n:        chunk bytes
+//   out,out_bytes: packed 2-bit output (zero-filled past the data)
+//   lengths_out:   per-entry sequence lengths (capacity max_entries)
+//   n_threads:     parallelism for scan + pack
+//   n_bases_out:   total sequence bases written
+// Returns the entry count, or -(pos+1) on a malformed byte at `pos`
+// (structure or encoding error).
+long fastq_parse_pack(const uint8_t* raw, long n, uint8_t* out,
+                      long out_bytes, int32_t* lengths_out,
+                      long max_entries, int n_threads,
+                      int64_t* n_bases_out) {
+    if (n_threads < 1) n_threads = 1;
+    if (n < (1L << 16)) n_threads = 1;
+    // phase 1: newline positions
+    std::vector<std::vector<long>> nl_parts((size_t)n_threads);
+    if (n_threads == 1) {
+        nl_parts[0].reserve((size_t)(n / 64 + 4));
+        scan_newlines(raw, 0, n, &nl_parts[0]);
+    } else {
+        std::vector<std::thread> ws;
+        long per = (n + n_threads - 1) / n_threads;
+        for (int t = 0; t < n_threads; ++t) {
+            long lo = t * per, hi = lo + per < n ? lo + per : n;
+            if (lo >= hi) continue;
+            nl_parts[t].reserve((size_t)((hi - lo) / 64 + 4));
+            ws.emplace_back(scan_newlines, raw, lo, hi, &nl_parts[t]);
+        }
+        for (auto& w : ws) w.join();
+    }
+    std::vector<long> nl;
+    {
+        size_t total = 0;
+        for (auto& p : nl_parts) total += p.size();
+        nl.reserve(total);
+        for (auto& p : nl_parts) nl.insert(nl.end(), p.begin(), p.end());
+    }
+    long n_lines = (long)nl.size();
+    if (n_lines % 4 != 0) return -(n + 1);
+    long n_entries = n_lines / 4;
+    if (n_entries > max_entries) return -(n + 1);
+    // phase 2: entry structure + spans
+    std::vector<SeqSpan> spans((size_t)n_entries);
+    int64_t base_off = 0;
+    for (long e = 0; e < n_entries; ++e) {
+        long h_start = e == 0 ? 0 : nl[4 * e - 1] + 1;
+        if (raw[h_start] != '@') return -(h_start + 1);
+        long p_start = nl[4 * e + 1] + 1;
+        if (raw[p_start] != '+') return -(p_start + 1);
+        long s_start = nl[4 * e] + 1;
+        long s_len = nl[4 * e + 1] - s_start;
+        long q_len = nl[4 * e + 3] - (nl[4 * e + 2] + 1);
+        if (q_len != s_len) return -(nl[4 * e + 2] + 2);
+        spans[e].start = s_start;
+        spans[e].len = s_len;
+        spans[e].base_off = base_off;
+        lengths_out[e] = (int32_t)s_len;
+        base_off += s_len;
+    }
+    *n_bases_out = base_off;
+    if ((base_off + 3) / 4 > out_bytes) return -(n + 1);
+    // encode table: ACGT + acgt
+    uint8_t enc[256];
+    std::memset(enc, 255, 256);
+    enc['A'] = enc['a'] = 0;
+    enc['C'] = enc['c'] = 1;
+    enc['G'] = enc['g'] = 2;
+    enc['T'] = enc['t'] = 3;
+    // phase 3: pack, partitioned on base offsets
+    long used_bytes = (long)((base_off + 3) / 4);
+    std::memset(out, 0, (size_t)out_bytes);
+    long err = -1;
+    if (n_threads == 1 || n_entries < 64) {
+        uint8_t f0 = 0, f1 = 0;
+        pack_entries_range(raw, spans.data(), 0, n_entries, 0, base_off,
+                           enc, out, &f0, &f1, &err);
+        if (base_off & 3) out[base_off >> 2] |= f1;
+    } else {
+        std::vector<std::thread> ws;
+        std::vector<uint8_t> firsts((size_t)n_threads, 0),
+            lasts((size_t)n_threads, 0);
+        std::vector<long> errs((size_t)n_threads, -1);
+        std::vector<long> e_bounds((size_t)n_threads + 1, n_entries);
+        std::vector<int64_t> b_bounds((size_t)n_threads + 1, base_off);
+        e_bounds[0] = 0;
+        b_bounds[0] = 0;
+        // split entries so each thread gets ~equal bases
+        long e = 0;
+        for (int t = 1; t < n_threads; ++t) {
+            int64_t target = base_off * t / n_threads;
+            while (e < n_entries && spans[e].base_off < target) ++e;
+            e_bounds[t] = e;
+            b_bounds[t] = e < n_entries ? spans[e].base_off : base_off;
+        }
+        for (int t = 0; t < n_threads; ++t) {
+            if (e_bounds[t] >= e_bounds[t + 1]) continue;
+            ws.emplace_back(pack_entries_range, raw, spans.data(),
+                            e_bounds[t], e_bounds[t + 1], b_bounds[t],
+                            b_bounds[t + 1], enc, out, &firsts[t],
+                            &lasts[t], &errs[t]);
+        }
+        for (auto& w : ws) w.join();
+        for (int t = 0; t < n_threads; ++t) {
+            if (errs[t] >= 0 && (err < 0 || errs[t] < err)) err = errs[t];
+            // thread t's boundary bytes: first partial byte at
+            // b_bounds[t]>>2, trailing partial byte at b_bounds[t+1]>>2
+            if (b_bounds[t] & 3) out[b_bounds[t] >> 2] |= firsts[t];
+            if ((b_bounds[t + 1] & 3) && b_bounds[t + 1] < base_off)
+                out[b_bounds[t + 1] >> 2] |= lasts[t];
+            else if ((b_bounds[t + 1] & 3) && b_bounds[t + 1] == base_off)
+                out[b_bounds[t + 1] >> 2] |= lasts[t];
+        }
+    }
+    (void)used_bytes;
+    if (err >= 0) return -(err + 1);
+    return n_entries;
+}
+
 }  // extern "C"
