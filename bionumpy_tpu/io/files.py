@@ -69,7 +69,14 @@ def _get_buffered_file(filename, suffix, mode, is_gzip=False,
         return writer_class(open_func(filename, "wb"), buffer_type)
     if mode in ("a", "append", "ab"):
         return writer_class(open_func(filename, "ab"), buffer_type)
-    file_reader = NumpyFileReader(open_func(filename, "rb"), buffer_type)
+    if is_gzip and suffix != ".bam":
+        # multi-member .gz files inflate on a thread pool (io/pgzip.py);
+        # single-member files fall back to sequential gzip inside
+        from .pgzip import open_gzip
+        file_obj = open_gzip(filename)
+    else:
+        file_obj = open_func(filename, "rb")
+    file_reader = NumpyFileReader(file_obj, buffer_type)
     if is_gzip:
         file_reader.set_prepend_mode()
     return NpDataclassReader(file_reader, lazy=kwargs.get("lazy", None))
