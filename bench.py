@@ -1,11 +1,19 @@
-"""Benchmark: 31-mer rolling-hash counting of big.fq.gz-scale FASTQ.
+"""Benchmark: end-to-end 31-mer COUNTING of a big.fq.gz-scale FASTQ.
 
-Measures the device pipeline (H2D transfer + 2-bit pack + rolling hash +
-validity-masked checksum reduction) on the real chip, verifies bit-exact
-hashes against a single-core numpy implementation of the reference's
-BitArray algorithm (npstructures BitArray.pack/sliding_window as used at
-/root/reference/bionumpy/sequence/kmers.py:106-128), and reports
-throughput plus the speedup over that single-core numpy baseline.
+Whole-job timing, file-in to counts-out, matching the reference's own
+benchmark protocol (gzip + parse + count as ONE job with output
+validation: /root/reference/benchmarks/config.yml:79-90,
+benchmarks/rules/kmer_counting.smk:8-16, validate_equal: true):
+
+  read -> parallel multi-member gzip inflate -> fused native parse+pack
+  -> H2D (packed 2-bit words) -> device sort/compact sparse count
+  -> D2H compacted tables -> host merge
+
+The timed loop produces the full exact (kmer, count) table each
+iteration and the result is checked against an independent single-core
+numpy recomputation (the reference BitArray algorithm + np.unique).
+vs_baseline is the speedup over that numpy implementation doing the
+same whole job (inflate + parse + hash + unique count) single-core.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -13,6 +21,7 @@ import json
 import os
 import sys
 import time
+import zlib
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       "/tmp/bionumpy_tpu_jax_cache")
@@ -21,14 +30,18 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 import numpy as np
 
 K = 31
-REPLICATION = 512  # 1000 reads * ~190bp * 512 ≈ 97M bases per batch
-WARMUP_ITERS = 2
-TIMED_ITERS = 5
+REPLICATION = 512   # 512 gzip members x 1000 reads = 111.4M bases/job
+WARMUP_ITERS = 1
+TIMED_ITERS = 3
+BASELINE_MEMBERS = 8  # numpy baseline measures this many, scales up
 FASTQ = "/root/reference/example_data/big.fq.gz"
+BENCH_FILE = "/tmp/bionumpy_bench_big512.fq.gz"
 
 
 def numpy_reference_hashes(codes: np.ndarray, k: int) -> np.ndarray:
-    """Single-core numpy twin of the reference's 2-bit-pack rolling hash."""
+    """Single-core numpy twin of the reference's 2-bit-pack rolling hash
+    (npstructures BitArray.pack/sliding_window as used at
+    /root/reference/bionumpy/sequence/kmers.py:106-128)."""
     codes = codes.astype(np.uint64)
     n = len(codes)
     n_words = (n + 31) // 32 + 2
@@ -48,104 +61,98 @@ def numpy_reference_hashes(codes: np.ndarray, k: int) -> np.ndarray:
     return lo & mask
 
 
+def numpy_parse_fastq(raw: np.ndarray):
+    """Single-core numpy FASTQ parse -> (flat DNA codes, lengths): the
+    reference's layered newline-scan/field-gather/encode approach
+    (bionumpy/io/one_line_buffer.py:36-71 + encode LUT)."""
+    nl = np.flatnonzero(raw == 10)
+    starts = np.insert(nl[:-1] + 1, 0, 0)
+    s_starts = starts[1::4]
+    s_lens = (nl[1::4] - s_starts).astype(np.int64)
+    idx = np.repeat(s_starts - np.insert(np.cumsum(s_lens)[:-1], 0, 0),
+                    s_lens) + np.arange(int(s_lens.sum()), dtype=np.int64)
+    enc = np.full(256, 255, np.uint8)
+    for i, c in enumerate("ACGT"):
+        enc[ord(c)] = i
+        enc[ord(c.lower())] = i
+    return enc[raw[idx]], s_lens
+
+
+def numpy_whole_job(members, k):
+    """The baseline whole job: inflate + parse + hash + unique-count."""
+    tables = []
+    for comp in members:
+        raw = np.frombuffer(zlib.decompress(comp, wbits=31), np.uint8)
+        codes, lengths = numpy_parse_fastq(raw)
+        hashes = numpy_reference_hashes(codes, k)
+        ends = np.cumsum(lengths)
+        dist = np.repeat(ends, lengths) - np.arange(len(codes))
+        h, c = np.unique(hashes[dist >= k], return_counts=True)
+        tables.append((h, c))
+    all_h = np.concatenate([t[0] for t in tables])
+    all_c = np.concatenate([t[1] for t in tables])
+    order = np.argsort(all_h, kind="stable")
+    all_h, all_c = all_h[order], all_c[order]
+    keep = np.flatnonzero(np.concatenate(
+        [[True], all_h[1:] != all_h[:-1]]))
+    return all_h[keep], np.add.reduceat(all_c, keep)
+
+
 def main():
-    import jax
-    import jax.numpy as jnp
+    member = open(FASTQ, "rb").read()
+    if not os.path.exists(BENCH_FILE) or \
+            os.path.getsize(BENCH_FILE) != len(member) * REPLICATION:
+        with open(BENCH_FILE, "wb") as f:
+            for _ in range(REPLICATION):
+                f.write(member)
 
-    import bionumpy_tpu as bnp
-    from bionumpy_tpu.ops.device import distance_to_row_end
-    from bionumpy_tpu.ops.kmers import (WORD_BASES, hash_checksum,
-                                        kmer_checksum_pipeline,
-                                        kmer_hashes_masked)
+    import jax  # noqa: F401  (initialize backend before timing)
+    from bionumpy_tpu import instrument
+    from bionumpy_tpu.pipeline import count_kmers_fastq
 
-    # --- host parse + encode -------------------------------------------------
-    t_parse0 = time.perf_counter()
-    data = bnp.open(FASTQ).read()
-    seqs = bnp.change_encoding(data.sequence, bnp.DNAEncoding)
-    t_parse = time.perf_counter() - t_parse0
-
-    base_flat = np.asarray(seqs.ravel().raw())
-    base_lengths = np.asarray(seqs.lengths)
-    flat = np.tile(base_flat, REPLICATION)
-    lengths = np.tile(base_lengths, REPLICATION)
-    n = len(flat)
-    n_reads = len(lengths)
-
-    # chunked pipeline: multithreaded host 2-bit pack (upload is 4x
-    # smaller than raw codes) + overlap of pack/H2D/kernel across chunks
-    from bionumpy_tpu.ops.kmers import kmer_checksum_streamed
-    device = jax.devices()[0]
-
-    def step():
-        return kmer_checksum_streamed(flat, lengths, K, n_chunks=4,
-                                      device=device)
-
-    # warmup / compile
+    # --- timed end-to-end runs ----------------------------------------
     for _ in range(WARMUP_ITERS):
-        n_valid, _, _ = step()
-
+        counts, stats = count_kmers_fastq(BENCH_FILE, K)
     times = []
     for _ in range(TIMED_ITERS):
+        instrument.reset()
         t0 = time.perf_counter()
-        n_valid, _, _ = step()  # syncs internally (full round trip)
+        counts, stats = count_kmers_fastq(BENCH_FILE, K)
+        # force a host-side consume (relay can return early otherwise)
+        total = int(counts.counts.sum())
         times.append(time.perf_counter() - t0)
-    # the tunnel to the chip has volatile latency; min is the honest
-    # steady-state throughput of the pipeline itself
-    t_device = min(times)
-    assert n_valid == int(np.maximum(lengths - K + 1, 0).sum())
+    t_job = min(times)
+    split = instrument.summary(total=times[-1])
 
-    n_kmers = int(np.maximum(lengths - K + 1, 0).sum())
-    device_rate = n_kmers / t_device
-    reads_rate = n_reads / t_device
+    n_kmers = stats["n_kmers"]
+    assert total == n_kmers
+    kmer_rate = n_kmers / t_job
+    read_rate = stats["n_reads"] / t_job
 
-    # --- exactness check vs single-core numpy baseline ----------------------
-    ref_hashes_small = numpy_reference_hashes(base_flat, K)
-    base_dist = distance_to_row_end(base_lengths)
-    ref_valid = base_dist >= K
-    lo_dev, hi_dev, _ = kmer_hashes_masked(
-        jnp.asarray(_pad(base_flat)), jnp.asarray(_pad_dist(base_dist)), K)
-    lo_dev = np.asarray(lo_dev[: len(base_flat)])
-    hi_dev = np.asarray(hi_dev[: len(base_flat)])
-    dev_hashes = lo_dev.astype(np.uint64) | \
-        (hi_dev.astype(np.uint64) << np.uint64(32))
-    exact = np.array_equal(dev_hashes[ref_valid], ref_hashes_small[ref_valid])
+    # --- exactness: independent single-core numpy recompute ------------
+    exp_h, exp_c = numpy_whole_job([member], K)
+    exact = (np.array_equal(counts.label_codes, exp_h) and
+             np.array_equal(counts.counts, exp_c * REPLICATION))
     if not exact:
-        print(json.dumps({"metric": "31-mer hash exactness", "value": 0,
+        print(json.dumps({"metric": "31-mer count exactness", "value": 0,
                           "unit": "bool", "vs_baseline": 0}))
         sys.exit(1)
 
-    # --- numpy single-core baseline rate ------------------------------------
+    # --- single-core numpy baseline on the same whole job --------------
     t0 = time.perf_counter()
-    _ = numpy_reference_hashes(flat[: n // 8], K)
-    t_numpy = (time.perf_counter() - t0) * 8  # scale to full batch
-    numpy_rate = n_kmers / t_numpy
+    numpy_whole_job([member] * BASELINE_MEMBERS, K)
+    t_base = (time.perf_counter() - t0) * (REPLICATION / BASELINE_MEMBERS)
 
     print(json.dumps({
-        "metric": "31-mer rolling-hash throughput per chip "
-                  f"(exact vs reference; {n_reads} reads/iter, "
-                  f"parse {t_parse:.2f}s, {reads_rate:.0f} reads/s)",
-        "value": round(device_rate / 1e6, 2),
+        "metric": "end-to-end 31-mer counting, gzip FASTQ file-in to "
+                  f"exact counts-out ({stats['n_reads']} reads, "
+                  f"{stats['n_bases'] / 1e6:.0f} Mbases, "
+                  f"{read_rate:.0f} reads/s; split: {split}; numpy "
+                  f"1-core {t_base:.1f}s)",
+        "value": round(kmer_rate / 1e6, 2),
         "unit": "Mkmers/s",
-        "vs_baseline": round(device_rate / numpy_rate, 2),
+        "vs_baseline": round(t_base / t_job, 2),
     }))
-
-
-def _pad(flat: np.ndarray) -> np.ndarray:
-    from bionumpy_tpu.ops.kmers import WORD_BASES
-    n = len(flat)
-    padded_n = ((n + WORD_BASES - 1) // WORD_BASES) * WORD_BASES
-    out = np.zeros(padded_n + 2 * WORD_BASES, dtype=np.uint8)
-    out[:n] = flat
-    return out
-
-
-def _pad_dist(dist: np.ndarray) -> np.ndarray:
-    from bionumpy_tpu.ops.kmers import WORD_BASES
-    n = len(dist)
-    padded_n = ((n + WORD_BASES - 1) // WORD_BASES) * WORD_BASES
-    out = np.zeros(padded_n, dtype=np.int32)
-    out[:n] = dist
-    return out
 
 
 if __name__ == "__main__":

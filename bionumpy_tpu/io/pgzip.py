@@ -35,23 +35,31 @@ _MAGIC0, _MAGIC1, _METHOD = 0x1F, 0x8B, 0x08
 _FLG_RESERVED = 0xE0
 
 
+_MAGIC = bytes([_MAGIC0, _MAGIC1, _METHOD])
+
+
 def member_offsets(data) -> np.ndarray:
     """Candidate gzip member start offsets in `data` (always includes 0).
 
     Candidates are verified during inflation; a false positive (the
     3-byte magic appearing inside compressed data) is repaired by
-    merging, so over-reporting here is harmless."""
-    buf = np.frombuffer(data, dtype=np.uint8) if not isinstance(
-        data, np.ndarray) else data
-    if len(buf) < 18:  # minimal gzip file is 18 bytes
+    merging, so over-reporting here is harmless.  Scans with bytes.find
+    (memmem) — elementwise numpy over the compressed buffer would be
+    ~50x slower on low-bandwidth hosts."""
+    if isinstance(data, np.ndarray):
+        data = data.tobytes()
+    if len(data) < 18:  # minimal gzip file is 18 bytes
         return np.array([0], dtype=np.int64)
-    starts = np.flatnonzero(
-        (buf[:-3] == _MAGIC0) & (buf[1:-2] == _MAGIC1)
-        & (buf[2:-1] == _METHOD) & ((buf[3:] & _FLG_RESERVED) == 0))
-    starts = starts[starts + 18 <= len(buf)]
-    if len(starts) == 0 or starts[0] != 0:
-        starts = np.insert(starts, 0, 0)
-    return starts.astype(np.int64)
+    starts = []
+    i = data.find(_MAGIC)
+    limit = len(data) - 18
+    while 0 <= i <= limit:
+        if (data[i + 3] & _FLG_RESERVED) == 0:
+            starts.append(i)
+        i = data.find(_MAGIC, i + 1)
+    if not starts or starts[0] != 0:
+        starts.insert(0, 0)
+    return np.array(starts, dtype=np.int64)
 
 
 def _inflate_segment(segment: bytes) -> bytes:

@@ -268,9 +268,9 @@ def pack_codes_host(flat_codes: np.ndarray, n_positions: int) -> np.ndarray:
     return pack_2bit_fill(flat_codes, total // 4).view(np.uint32)
 
 
-@partial(jax.jit, static_argnames=("k", "n_true", "cap"))
+@partial(jax.jit, static_argnames=("k", "cap"))
 def kmer_sorted_runs_packed(words: jnp.ndarray, ends: jnp.ndarray, k: int,
-                            n_true: int, cap: int = None):
+                            n_true=None, cap: int = None):
     """Exact sparse k-mer counting core for k > 12 (4^k label spaces that
     cannot be materialized): sort the valid 64-bit hashes on device and
     compact them to (unique_lo, unique_hi, run_start) tables.
@@ -286,8 +286,10 @@ def kmer_sorted_runs_packed(words: jnp.ndarray, ends: jnp.ndarray, k: int,
     smaller than the position count), keeping D2H traffic proportional to
     the DISTINCT kmers, not the bases.
 
-    `cap` bounds the number of distinct kmers returned (the host wrapper
-    retries with a doubled cap on overflow).  Returns
+    `n_true` (the real base count; traced, so it costs no recompiles) and
+    `cap` bound the padding tail and the number of distinct kmers
+    returned (the host wrapper retries with a doubled cap on overflow).
+    Returns
     (uniq_lo, uniq_hi, run_starts, n_unique, n_valid); counts are
     np.diff(run_starts[:U], append=n_valid) on host.
     """
@@ -295,6 +297,8 @@ def kmer_sorted_runs_packed(words: jnp.ndarray, ends: jnp.ndarray, k: int,
     if cap is None:
         cap = n_positions
     cap = min(cap, n_positions)
+    if n_true is None:
+        n_true = n_positions
     lo, hi = _window_limbs(words, n_positions, k)
     # validity: window at i is invalid iff i in [e-k+1, e) for a row end
     # e, or i is in the zero-padding tail
@@ -325,6 +329,22 @@ def kmer_sorted_runs_packed(words: jnp.ndarray, ends: jnp.ndarray, k: int,
     return uniq_lo, uniq_hi, run_starts, n_unique, n_valid
 
 
+@partial(jax.jit, static_argnames=("k", "cap"))
+def kmer_sparse_table_packed(words: jnp.ndarray, ends: jnp.ndarray, k: int,
+                             n_true, cap: int):
+    """kmer_sorted_runs_packed with fetch-friendly outputs: one (3, cap)
+    uint32 table [lo, hi, run_start] and one (2,) int32 meta
+    [n_unique, n_valid], so a chunk's result costs two host round trips
+    instead of five (the relay's per-fetch latency dominates D2H)."""
+    uniq_lo, uniq_hi, run_starts, n_unique, n_valid = \
+        kmer_sorted_runs_packed(words, ends, k, n_true, cap)
+    table = jnp.stack([uniq_lo, uniq_hi,
+                       run_starts.astype(jnp.uint32)])
+    meta = jnp.stack([n_unique.astype(jnp.int32),
+                      n_valid.astype(jnp.int32)])
+    return table, meta
+
+
 def sparse_count_tables(words, ends, k: int, n_true: int,
                         cap: int = 1 << 20):
     """Host wrapper: run the device sort/compact and fetch ONLY the
@@ -340,9 +360,13 @@ def sparse_count_tables(words, ends, k: int, n_true: int,
             break
         cap = max(cap * 2, 1 << int(np.ceil(np.log2(max(n_uni, 2)))))
     n_val = int(np.asarray(n_valid))
-    lo = np.asarray(uniq_lo[:n_uni]).astype(np.uint64)
-    hi = np.asarray(uniq_hi[:n_uni]).astype(np.uint64)
-    starts = np.asarray(run_starts[:n_uni]).astype(np.int64)
+    # fetch a power-of-two-bucketed prefix so slice programs are reused
+    # across chunks with different unique counts
+    from .device import bucket_size
+    n_fetch = min(bucket_size(max(n_uni, 1), 4096), int(uniq_lo.shape[0]))
+    lo = np.asarray(uniq_lo[:n_fetch])[:n_uni].astype(np.uint64)
+    hi = np.asarray(uniq_hi[:n_fetch])[:n_uni].astype(np.uint64)
+    starts = np.asarray(run_starts[:n_fetch])[:n_uni].astype(np.int64)
     hashes = lo | (hi << np.uint64(32))
     counts = np.diff(starts, append=n_val)
     return hashes, counts

@@ -1,0 +1,273 @@
+"""Streamed FASTQ -> k-mer-count pipeline: the flagship end-to-end path.
+
+File-in to counts-out, with every stage overlapped (VERDICT r1 item 1;
+reference whole-job protocol: /root/reference/benchmarks/config.yml:79-90
+and rules/kmer_counting.smk:8-16 time gzip+parse+count as ONE job):
+
+  inflate      multi-member gzip members on a thread pool (io/pgzip.py)
+  parse+pack   fused native FASTQ scan+encode+2-bit pack (csrc)
+  H2D          packed uint32 words (0.25 B/base) + row ends
+  count        device two-key sort + run compaction (ops/kmers.py)
+  D2H+merge    compacted (hash, count) tables, host sorted-merge
+
+A host worker thread prepares batch i+1 while the device counts batch i,
+so wall time approaches max(host stage, device stage) instead of the
+sum.  All stages report through bionumpy_tpu.instrument.
+
+The merged result is exact: counts equal the reference's
+count_encoded(get_kmers(...)) fold over the same file
+(reference: bionumpy/sequence/kmers.py:130-145 +
+bionumpy/streams/reductions.py:6-23).
+"""
+from __future__ import annotations
+
+import os
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, Tuple
+
+import numpy as np
+
+from . import native
+from .instrument import stage
+
+# positions per device batch; 2^25 keeps the two device sorts in the
+# high-throughput regime (measured 220 M/s two-key at 2^25 on v5e)
+TARGET_BUCKET = 1 << 25
+
+
+def _inflated_chunks(path: str, target_raw: int,
+                     pool: ThreadPoolExecutor) -> Iterator[bytes]:
+    """Yield inflated byte chunks of ~target_raw bytes (NOT entry-aligned;
+    _entry_aligned adds the carry)."""
+    if not path.endswith(".gz"):
+        with stage("read"):
+            with open(path, "rb") as f:
+                data = f.read()
+        for i in range(0, len(data), target_raw):
+            yield data[i: i + target_raw]
+        return
+    from .io.pgzip import _inflate_segment, inflate_members, member_offsets
+    with stage("read"):
+        with open(path, "rb") as f:
+            data = f.read()
+    offsets = member_offsets(data)
+    if len(offsets) < 2:
+        with stage("inflate", n_bytes=len(data)):
+            raw = _inflate_segment(data)
+        for i in range(0, len(raw), target_raw):
+            yield raw[i: i + target_raw]
+        return
+    # group members into ~target_raw inflated batches using the
+    # compression ratio of member 0 as the estimate
+    bounds = np.append(offsets, len(data))
+    with stage("inflate"):
+        ratio = max(len(_inflate_segment(bytes(data[: int(bounds[1])])))
+                    / max(int(bounds[1]), 1), 0.1)
+    group_bounds = []
+    gstart, est_acc = 0, 0.0
+    n = len(bounds) - 1
+    for j in range(n):
+        est_acc += float(bounds[j + 1] - bounds[j]) * ratio
+        if est_acc >= target_raw or j == n - 1:
+            group_bounds.append((gstart, j + 1))
+            gstart, est_acc = j + 1, 0.0
+    for a, b in group_bounds:
+        seg = data[int(bounds[a]): int(bounds[b])]
+        rel = offsets[a:b] - int(bounds[a])
+        with stage("inflate", n_bytes=len(seg)):
+            parts = inflate_members(seg, rel, pool=pool)
+        yield b"".join(parts)
+
+
+def _entry_boundary(buf: bytes) -> int:
+    """Position just past the last complete 4-line entry in buf, via
+    newline count + up-to-4 rfind steps (C speed; a numpy scan over the
+    whole chunk is ~50x slower on low-bandwidth hosts)."""
+    c = buf.count(b"\n")
+    if c < 4:
+        return 0
+    r = c % 4
+    pos = len(buf)
+    for _ in range(r + 1):
+        pos = buf.rfind(b"\n", 0, pos)
+    return pos + 1
+
+
+def _entry_aligned(chunks: Iterator[bytes]) -> Iterator[bytes]:
+    """Re-chunk inflated FASTQ bytes on 4-line entry boundaries (the
+    reference's chunk-carry semantics, bionumpy/io/parser.py:160-165)."""
+    carry = b""
+    for chunk in chunks:
+        buf = carry + chunk if carry else chunk
+        end = _entry_boundary(buf)
+        if end == 0:
+            carry = buf
+            continue
+        yield buf[:end]
+        carry = buf[end:]
+    if carry:
+        if not carry.endswith(b"\n"):
+            carry += b"\n"
+        if carry.count(b"\n") % 4:
+            raise ValueError("truncated FASTQ: incomplete final entry")
+        yield carry
+
+
+def _batch_raw_bytes(path: str, target_bases: int,
+                     pool: ThreadPoolExecutor) -> Iterator[bytes]:
+    """Entry-aligned inflated FASTQ batches of ~target_bases sequence
+    bases (sequence is ~half the raw FASTQ bytes)."""
+    yield from _entry_aligned(_inflated_chunks(path, target_bases * 2,
+                                               pool))
+
+
+def _parse_batch(raw: bytes) -> Tuple[np.ndarray, np.ndarray, int, int]:
+    """(bucketed packed words uint32, ends int32, n_bases, n_reads)."""
+    from .ops.device import bucket_size
+    from .ops.kmers import WORD_BASES
+    with stage("parse+pack", n_bytes=len(raw)):
+        arr = np.frombuffer(raw, np.uint8)
+        packed, lengths, n_bases = native.fastq_parse_pack(
+            arr, out_bytes=len(arr) // 8 + 16)
+        bucket = bucket_size(max(n_bases, 1), 1 << 14)
+        out = np.zeros(bucket // 4 + 2 * (WORD_BASES // 4), np.uint8)
+        used = (n_bases + 3) // 4
+        out[:used] = packed[:used]
+        ends = np.cumsum(lengths, dtype=np.int64).astype(np.int32)
+        # pad the row axis into a power-of-two bucket too (repeating the
+        # final end is a no-op for the validity scatters) so every batch
+        # shares one compiled program instead of one per row count
+        rows_bucket = bucket_size(max(len(ends), 1), 4096)
+        if len(ends) < rows_bucket:
+            pad = np.full(rows_bucket - len(ends),
+                          ends[-1] if len(ends) else 0, np.int32)
+            ends = np.concatenate([ends, pad])
+    return out.view(np.uint32), ends, n_bases, len(lengths)
+
+
+def count_kmers_fastq(path: str, k: int = 31, cap: int = 1 << 20,
+                      target_bases: int = TARGET_BUCKET - (1 << 21),
+                      device=None, n_threads: int = None):
+    """Count all k-mers in a FASTQ file (optionally multi-member gzip),
+    overlapping host inflate/parse with device counting.
+
+    Returns a SparseEncodedCounts over the DNA k-mer encoding plus a
+    stats dict {n_reads, n_bases, n_kmers}."""
+    import jax
+
+    from .encodings import DNAEncoding
+    from .encodings.kmer_encodings import KmerEncoding
+    from .ops.device import bucket_size
+    from .ops.kmers import kmer_sparse_table_packed
+    from .sequence.count_encoded import SparseEncodedCounts
+
+    if device is None:
+        device = jax.devices()[0]
+    if n_threads is None:
+        n_threads = min(8, os.cpu_count() or 1)
+    pool = ThreadPoolExecutor(n_threads)
+    worker = ThreadPoolExecutor(1)
+
+    tables = []
+    n_reads = n_bases = n_kmers = 0
+
+    def start_fetch(dev_out):
+        """Block on the chunk's meta (2 ints, one round trip), then start
+        the async D2H of the bucketed table slice."""
+        table, meta = dev_out
+        with stage("D2H-meta"):
+            m = np.asarray(meta)
+        n_uni, n_val = int(m[0]), int(m[1])
+        assert n_uni <= cap, (
+            f"batch had {n_uni} distinct kmers > cap {cap}; raise cap")
+        # slice to a power-of-two bucket, not n_uni: a fresh slice length
+        # would compile a fresh device program per batch
+        n_fetch = min(bucket_size(max(n_uni, 1), 4096),
+                      int(table.shape[1]))
+        sl = table[:, :n_fetch]
+        try:
+            sl.copy_to_host_async()
+        except AttributeError:
+            pass
+        return sl, n_uni, n_val
+
+    def resolve(handle):
+        nonlocal n_kmers
+        sl, n_uni, n_val = handle
+        with stage("D2H-table"):
+            t = np.asarray(sl)
+        lo = t[0, :n_uni].astype(np.uint64)
+        hi = t[1, :n_uni].astype(np.uint64)
+        starts = t[2, :n_uni].astype(np.int64)
+        tables.append((lo | (hi << np.uint64(32)),
+                       np.diff(starts, append=n_val)))
+        n_kmers += n_val
+
+    def launch(parsed, pending_dev, pending_handle):
+        words, ends, nb, _ = parsed
+        with stage("H2D", n_bytes=words.nbytes + ends.nbytes):
+            words_d = jax.device_put(words, device)
+            ends_d = jax.device_put(ends, device)
+        with stage("dispatch"):
+            out = kmer_sparse_table_packed(words_d, ends_d, k, nb, cap)
+        handle = start_fetch(pending_dev) if pending_dev is not None \
+            else None
+        if pending_handle is not None:
+            resolve(pending_handle)
+        return out, handle
+
+    try:
+        batches = _batch_raw_bytes(path, target_bases, pool)
+        parse_fut = None
+        pending_dev = None
+        pending_handle = None
+        for raw in batches:
+            if parse_fut is not None:
+                parsed = parse_fut.result()
+                parse_fut = worker.submit(_parse_batch, raw)
+                pending_dev, pending_handle = launch(
+                    parsed, pending_dev, pending_handle)
+                n_bases += parsed[2]
+                n_reads += parsed[3]
+            else:
+                parse_fut = worker.submit(_parse_batch, raw)
+        if parse_fut is not None:
+            parsed = parse_fut.result()
+            pending_dev, pending_handle = launch(
+                parsed, pending_dev, pending_handle)
+            n_bases += parsed[2]
+            n_reads += parsed[3]
+        if pending_handle is not None:
+            resolve(pending_handle)
+        if pending_dev is not None:
+            resolve(start_fetch(pending_dev))
+    finally:
+        pool.shutdown(wait=False)
+        worker.shutdown(wait=False)
+
+    with stage("merge"):
+        hashes, counts = _merge_tables(tables)
+    stats = {"n_reads": n_reads, "n_bases": n_bases, "n_kmers": n_kmers}
+    return SparseEncodedCounts(KmerEncoding(DNAEncoding, k), hashes,
+                               counts), stats
+
+
+def _merge_tables(tables):
+    """Merge per-batch sorted (hash, count) tables into one sorted table
+    — the associative fold of the reference's stream reductions
+    (reference: bionumpy/streams/reductions.py:6-23)."""
+    if not tables:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    hashes = np.concatenate([t[0] for t in tables])
+    counts = np.concatenate([t[1] for t in tables])
+    order = np.argsort(hashes, kind="stable")
+    hashes = hashes[order]
+    counts = counts[order]
+    if len(hashes) == 0:
+        return hashes, counts
+    is_new = np.empty(len(hashes), bool)
+    is_new[0] = True
+    np.not_equal(hashes[1:], hashes[:-1], out=is_new[1:])
+    idx = np.flatnonzero(is_new)
+    summed = np.add.reduceat(counts, idx)
+    return hashes[idx], summed

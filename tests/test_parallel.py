@@ -128,3 +128,133 @@ def test_device_fastq_parse_rejects_malformed():
     bad = b"@r1\nACGT\nX\nIIII\n"
     with pytest.raises(ValueError):
         parse_fastq_chunk_on_device(np.frombuffer(bad, dtype=np.uint8))
+
+
+def test_sharded_sparse_count_k31(mesh8):
+    """Flagship path: per-shard packed 31-mer tables, device all_gather +
+    sorted merge (VERDICT r1 item 3)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from bionumpy_tpu.parallel import (sharded_sparse_count_step,
+                                       shard_packed_reads)
+    from bionumpy_tpu.parallel.sparse_parallel import host_merge_check
+    rng = np.random.default_rng(7)
+    lengths = rng.integers(20, 80, 300)
+    flat = rng.integers(0, 4, lengths.sum()).astype(np.uint8)
+    k, cap = 31, 1 << 11
+    words, ends, n_true = shard_packed_reads(flat, lengths, 8)
+    w = jax.device_put(jnp.asarray(words), NamedSharding(mesh8, P("dp", None)))
+    e = jax.device_put(jnp.asarray(ends), NamedSharding(mesh8, P("dp", None)))
+    nt = jax.device_put(jnp.asarray(n_true), NamedSharding(mesh8, P("dp")))
+    step = sharded_sparse_count_step(mesh8, k, cap)
+    m_lo, m_hi, counts, n_unique = [np.asarray(x) for x in step(w, e, nt)]
+    nu = int(n_unique)
+    got = (m_lo[:nu].astype(np.uint64)
+           | (m_hi[:nu].astype(np.uint64) << np.uint64(32)))
+    exp_h, exp_c = host_merge_check(flat, lengths, k)
+    assert nu == len(exp_h)
+    np.testing.assert_array_equal(got, exp_h)
+    np.testing.assert_array_equal(counts[:nu], exp_c)
+
+
+def test_sharded_sparse_count_duplicate_heavy(mesh8):
+    """Shards sharing most kmers: the cross-shard merge must SUM counts."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from bionumpy_tpu.parallel import (sharded_sparse_count_step,
+                                       shard_packed_reads)
+    from bionumpy_tpu.parallel.sparse_parallel import host_merge_check
+    rng = np.random.default_rng(11)
+    one_read = rng.integers(0, 4, 60).astype(np.uint8)
+    flat = np.tile(one_read, 64)
+    lengths = np.full(64, 60)
+    k, cap = 21, 1 << 9
+    words, ends, n_true = shard_packed_reads(flat, lengths, 8)
+    w = jax.device_put(jnp.asarray(words), NamedSharding(mesh8, P("dp", None)))
+    e = jax.device_put(jnp.asarray(ends), NamedSharding(mesh8, P("dp", None)))
+    nt = jax.device_put(jnp.asarray(n_true), NamedSharding(mesh8, P("dp")))
+    step = sharded_sparse_count_step(mesh8, k, cap)
+    m_lo, m_hi, counts, n_unique = [np.asarray(x) for x in step(w, e, nt)]
+    nu = int(n_unique)
+    exp_h, exp_c = host_merge_check(flat, lengths, k)
+    got = (m_lo[:nu].astype(np.uint64)
+           | (m_hi[:nu].astype(np.uint64) << np.uint64(32)))
+    np.testing.assert_array_equal(got, exp_h)
+    np.testing.assert_array_equal(counts[:nu], exp_c)
+    assert counts[:nu].max() >= 64  # duplicates actually summed
+
+
+def test_merge_hash_tables_host_equiv():
+    import jax.numpy as jnp
+    from bionumpy_tpu.parallel import merge_hash_tables
+    rng = np.random.default_rng(5)
+    vals = rng.integers(0, 50, 4096, dtype=np.uint64)
+    cnts = rng.integers(1, 9, 4096).astype(np.int32)
+    lo = (vals & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    hi = (vals >> np.uint64(32)).astype(np.uint32)
+    # sprinkle sentinels (unused cap slots)
+    lo[::17] = 0xFFFFFFFF
+    hi[::17] = 0xFFFFFFFF
+    cnts[::17] = 0
+    m_lo, m_hi, m_cnt, nu = [np.asarray(x) for x in merge_hash_tables(
+        jnp.asarray(lo), jnp.asarray(hi), jnp.asarray(cnts), 4096)]
+    nu = int(nu)
+    mask = np.ones(len(vals), bool)
+    mask[::17] = False
+    exp_h, exp_idx = np.unique(vals[mask], return_inverse=True)
+    exp_c = np.bincount(exp_idx, weights=cnts[mask]).astype(np.int64)
+    assert nu == len(exp_h)
+    got = (m_lo[:nu].astype(np.uint64)
+           | (m_hi[:nu].astype(np.uint64) << np.uint64(32)))
+    np.testing.assert_array_equal(got, exp_h)
+    np.testing.assert_array_equal(m_cnt[:nu], exp_c)
+
+
+def test_sharded_histogram(mesh8):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from bionumpy_tpu.parallel import sharded_histogram_step
+    rng = np.random.default_rng(13)
+    values = rng.uniform(0, 50, (8, 500)).astype(np.float32)
+    valid = rng.random((8, 500)) < 0.9
+    edges = np.linspace(0.0, 50.0, 11).astype(np.float32)
+    v = jax.device_put(jnp.asarray(values), NamedSharding(mesh8, P("dp", None)))
+    m = jax.device_put(jnp.asarray(valid), NamedSharding(mesh8, P("dp", None)))
+    step = sharded_histogram_step(mesh8, 10)
+    got = np.asarray(step(v, m, jnp.asarray(edges)))
+    exp, _ = np.histogram(values[valid], bins=edges)
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_sharded_sum_and_n(mesh8):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from bionumpy_tpu.parallel import sharded_sum_and_n_step
+    rng = np.random.default_rng(17)
+    values = rng.normal(3.0, 1.0, (8, 256)).astype(np.float32)
+    valid = rng.random((8, 256)) < 0.7
+    v = jax.device_put(jnp.asarray(values), NamedSharding(mesh8, P("dp", None)))
+    m = jax.device_put(jnp.asarray(valid), NamedSharding(mesh8, P("dp", None)))
+    step = sharded_sum_and_n_step(mesh8)
+    s, n = step(v, m)
+    assert int(n) == int(valid.sum())
+    np.testing.assert_allclose(float(s), float(values[valid].sum()),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(s) / int(n), values[valid].mean(),
+                               rtol=1e-5)
+
+
+def test_sharded_pileup(mesh8):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from bionumpy_tpu.parallel import sharded_pileup_step
+    rng = np.random.default_rng(19)
+    n_pos = 1000
+    starts = rng.integers(0, n_pos - 10, (8, 64)).astype(np.int32)
+    stops = (starts + rng.integers(1, 10, (8, 64))).astype(np.int32)
+    valid = rng.random((8, 64)) < 0.8
+    s = jax.device_put(jnp.asarray(starts), NamedSharding(mesh8, P("dp", None)))
+    e = jax.device_put(jnp.asarray(stops), NamedSharding(mesh8, P("dp", None)))
+    m = jax.device_put(jnp.asarray(valid), NamedSharding(mesh8, P("dp", None)))
+    step = sharded_pileup_step(mesh8, n_pos)
+    got = np.asarray(step(s, e, m))
+    exp = np.zeros(n_pos + 1, np.int32)
+    for ss, ee in zip(starts[valid].ravel(), stops[valid].ravel()):
+        exp[ss] += 1
+        exp[ee] -= 1
+    np.testing.assert_array_equal(got, np.cumsum(exp[:-1]))

@@ -1,0 +1,84 @@
+"""End-to-end streamed FASTQ -> kmer-count pipeline (pipeline.py) vs the
+layered count_kmers path (reference whole-job semantics:
+/root/reference/benchmarks/rules/kmer_counting.smk:8-16)."""
+import gzip
+import io as _io
+
+import numpy as np
+import pytest
+
+import bionumpy_tpu as bnp
+from bionumpy_tpu.pipeline import count_kmers_fastq
+
+BIG_FQ = "/root/reference/example_data/big.fq.gz"
+
+
+def _expected_counts(path, k):
+    data = bnp.open(path).read()
+    seqs = bnp.change_encoding(data.sequence, bnp.DNAEncoding)
+    return bnp.count_kmers(seqs, k)
+
+
+@pytest.mark.parametrize("k", [31, 15])
+def test_matches_count_kmers_on_big_fq(k):
+    counts, stats = count_kmers_fastq(BIG_FQ, k)
+    expected = _expected_counts(BIG_FQ, k)
+    assert np.array_equal(counts.label_codes, expected.label_codes)
+    assert np.array_equal(counts.counts, expected.counts)
+    assert stats["n_reads"] == 1000
+    assert stats["n_kmers"] == int(expected.counts.sum())
+
+
+def test_multimember_and_batching(tmp_path):
+    # several members, forced small batches -> multiple device batches
+    member = open(BIG_FQ, "rb").read()
+    path = tmp_path / "multi.fq.gz"
+    path.write_bytes(member * 5)
+    counts, stats = count_kmers_fastq(str(path), 31,
+                                      target_bases=200_000)
+    expected = _expected_counts(BIG_FQ, 31)
+    assert np.array_equal(counts.label_codes, expected.label_codes)
+    assert np.array_equal(counts.counts, expected.counts * 5)
+    assert stats["n_reads"] == 5000
+
+
+def test_plain_fastq(tmp_path):
+    raw = gzip.decompress(open(BIG_FQ, "rb").read())
+    path = tmp_path / "reads.fq"
+    path.write_bytes(raw)
+    counts, _ = count_kmers_fastq(str(path), 31, target_bases=100_000)
+    expected = _expected_counts(BIG_FQ, 31)
+    assert np.array_equal(counts.counts, expected.counts)
+
+
+def test_entry_carry_across_chunks():
+    from bionumpy_tpu.pipeline import _entry_aligned
+    entry = b"@r\nACGTACGT\n+\nIIIIIIII\n"
+    raw = entry * 100
+    # chunk sizes that never align with the 23-byte entry
+    chunks = [raw[i: i + 37] for i in range(0, len(raw), 37)]
+    batches = list(_entry_aligned(iter(chunks)))
+    assert b"".join(batches) == raw
+    for b in batches:
+        assert b.startswith(b"@") and b.endswith(b"\n")
+        assert b.count(b"\n") % 4 == 0
+
+
+def test_truncated_raises(tmp_path):
+    raw = gzip.decompress(open(BIG_FQ, "rb").read())[:-40]
+    path = tmp_path / "trunc.fq"
+    path.write_bytes(raw)
+    with pytest.raises(ValueError):
+        count_kmers_fastq(str(path), 31)
+
+
+def test_instrument_stages_recorded():
+    from bionumpy_tpu import instrument
+    instrument.reset()
+    count_kmers_fastq(BIG_FQ, 31)
+    rep = instrument.report()
+    for name in ("read", "parse+pack", "H2D", "dispatch", "D2H-meta",
+                 "D2H-table", "merge"):
+        assert name in rep, (name, rep)
+    assert instrument.summary(total=1.0)
+    instrument.reset()
