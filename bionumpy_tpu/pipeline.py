@@ -116,9 +116,73 @@ def _entry_aligned(chunks: Iterator[bytes]) -> Iterator[bytes]:
 def _batch_raw_bytes(path: str, target_bases: int,
                      pool: ThreadPoolExecutor) -> Iterator[bytes]:
     """Entry-aligned inflated FASTQ batches of ~target_bases sequence
-    bases (sequence is ~half the raw FASTQ bytes)."""
-    yield from _entry_aligned(_inflated_chunks(path, target_bases * 2,
-                                               pool))
+    bases.  The bases-per-raw-byte ratio is measured on the first chunk
+    (headers/quality can dominate raw bytes) so batches fill their
+    device bucket instead of padding ~30% of it."""
+    chunks = _inflated_chunks(path, target_bases, pool)
+    first = next(chunks, None)
+    if first is None:
+        return
+    seq_frac = max(_seq_fraction(first), 0.05)
+    target_raw = int(target_bases / seq_frac)
+
+    def rechunked():
+        buf = [first]
+        size = len(first)
+        for c in chunks:
+            buf.append(c)
+            size += len(c)
+            while size >= target_raw:
+                joined = b"".join(buf)
+                yield joined[:target_raw]
+                rest = joined[target_raw:]
+                buf, size = [rest], len(rest)
+        if size:
+            yield b"".join(buf)
+
+    yield from _entry_aligned(rechunked())
+
+
+def _seq_fraction(chunk: bytes) -> float:
+    """Fraction of raw FASTQ bytes that are sequence bases, from the
+    first complete entries of a chunk."""
+    head = chunk[: 1 << 20]
+    end = _entry_boundary(head)
+    if end == 0:
+        return 0.5
+    sample = head[:end]
+    arr = np.frombuffer(sample, np.uint8)
+    nl = np.flatnonzero(arr == 10)
+    starts = np.insert(nl[:-1] + 1, 0, 0)
+    seq_bytes = int((nl[1::4] - starts[1::4]).sum())
+    return seq_bytes / max(len(sample), 1)
+
+
+def _prefetched(gen: Iterator, depth: int = 2) -> Iterator:
+    """Run a generator on a background thread with a bounded queue so
+    producing (inflate) overlaps the consumer's device dispatch/fetch."""
+    import queue
+    import threading
+    q = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def run():
+        try:
+            for item in gen:
+                q.put(item)
+            q.put(_END)
+        except BaseException as e:  # propagate into the consumer
+            q.put(e)
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
 
 
 def _parse_batch(raw: bytes) -> Tuple[np.ndarray, np.ndarray, int, int]:
@@ -217,7 +281,7 @@ def count_kmers_fastq(path: str, k: int = 31, cap: int = 1 << 20,
         return out, handle
 
     try:
-        batches = _batch_raw_bytes(path, target_bases, pool)
+        batches = _prefetched(_batch_raw_bytes(path, target_bases, pool))
         parse_fut = None
         pending_dev = None
         pending_handle = None

@@ -111,17 +111,18 @@ def _device_motif_scores(sequence: EncodedRaggedArray,
                          pwm: PWM) -> np.ndarray:
     import jax.numpy as jnp
     from ..ops.device import bucket_size
-    from ..ops.pwm import pwm_scores, pwm_scores_packed
+    from ..ops.pwm import pwm_scores
 
     if pwm.matrix.shape[0] <= 4 and \
             getattr(sequence.encoding, "alphabet_size", 0) == 4:
         # DNA-class alphabet: reuse the cached 2-bit-packed device words
-        # (one H2D per chunk shared with the kmer/minimizer kernels)
+        # (one H2D per chunk shared with the kmer/minimizer kernels);
+        # routes to the fused Pallas kernel on TPU
+        from ..ops.pallas_pwm import pwm_scores_packed_auto
         from ..ops.resident import device_seqs
         ds = device_seqs(sequence)
-        scores = pwm_scores_packed(
-            ds.words, jnp.asarray(pwm.matrix, dtype=jnp.float32),
-            pwm.window_size)
+        scores = pwm_scores_packed_auto(ds.words, pwm.matrix,
+                                        pwm.window_size)
         return np.asarray(scores[:ds.n], dtype=float)
     flat = np.asarray(sequence.ravel().raw())
     n = len(flat)
@@ -162,8 +163,11 @@ def get_motif_scores(sequence, pwm: PWM) -> RaggedArray:
         if pwm.window_size == 1:
             return scores
         return scores[: -pwm.window_size + 1]
+    # -inf log-likelihood cells (zero-probability positions) flow through
+    # the device selects exactly: -inf + finite = -inf, no NaN paths —
+    # pinned by tests/test_pwm_device.py
     use_device = sequence.size > (1 << 15)
-    if use_device and not np.isneginf(pwm.matrix).any():
+    if use_device:
         scores = _device_motif_scores(sequence, pwm)
     else:
         scores = pwm.calculate_scores(sequence.ravel())
