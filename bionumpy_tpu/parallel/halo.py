@@ -1,0 +1,118 @@
+"""Sequence-parallel rolling windows over ONE long sequence: the k−1
+halo exchange (SURVEY §2.10 SP row; VERDICT r1 item 5).
+
+Row-aligned sharding (kmer_parallel/sparse_parallel) cannot split a
+single chromosome-scale sequence; here the flat base axis itself is
+sharded contiguously over the mesh and each shard receives the FIRST
+`halo` bases of its successor via `jax.lax.ppermute` over ICI, so
+windows that straddle a shard edge are computed locally, exactly like
+the reference's chunk boundary carry on the host
+(reference: bionumpy/io/parser.py:160-165, sequence/rollable.py:57-69).
+
+Shards then run the same hash/minimizer sweeps as the single-chip ops
+(ops/kmers._window_limbs, ops/minimizers doubling min); validity comes
+from the GLOBAL position, so the sharded result is bit-identical to the
+single-shard one (tests/test_parallel.py::test_halo_*).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+try:
+    from jax import shard_map
+except ImportError:
+    from jax.experimental.shard_map import shard_map
+
+from ..ops.kmers import WORD_BASES
+
+
+def _halo_len(window_size: int) -> int:
+    """Smallest multiple of 16 that is >= window_size - 1."""
+    need = max(window_size - 1, 1)
+    return ((need + WORD_BASES - 1) // WORD_BASES) * WORD_BASES
+
+
+def shard_long_sequence(codes: np.ndarray, n_shards: int):
+    """Host-side: pad one flat code vector to (n_shards, L) with L a
+    multiple of 16.  Returns (blocks, n_true)."""
+    n = len(codes)
+    per = -(-n // n_shards)
+    per = ((per + WORD_BASES - 1) // WORD_BASES) * WORD_BASES
+    blocks = np.zeros((n_shards, per), dtype=np.uint8)
+    flat = blocks.reshape(-1)
+    flat[:n] = codes
+    return blocks, n
+
+
+def _extended_limbs(codes, recv, k: int, halo: int):
+    """Hash limbs for every position of this shard, windows allowed to
+    run into the received halo bases."""
+    from ..ops.kmers import kmer_hash_limbs
+    ext = jnp.concatenate([codes, recv,
+                           jnp.zeros(2 * WORD_BASES, codes.dtype)])
+    lo, hi = kmer_hash_limbs(ext, k)
+    return lo, hi
+
+
+def sharded_kmer_hash_step(mesh: Mesh, k: int):
+    """Jitted step: (n_shards, L) contiguous code blocks + total length
+    -> per-shard (lo, hi, valid) hash limbs for EVERY global position,
+    halo bases exchanged with ppermute."""
+    n_dev = mesh.devices.size
+    halo = _halo_len(k)
+    perm = [((i + 1) % n_dev, i) for i in range(n_dev)]
+
+    @partial(shard_map, mesh=mesh, in_specs=(P("dp", None), P()),
+             out_specs=(P("dp", None), P("dp", None), P("dp", None)))
+    def step(codes_b, n_true):
+        codes = codes_b[0]
+        L = codes.shape[0]
+        recv = jax.lax.ppermute(codes[:halo], "dp", perm)
+        lo, hi = _extended_limbs(codes, recv, k, halo)
+        lo, hi = lo[:L], hi[:L]
+        idx = jax.lax.axis_index("dp")
+        gpos = idx.astype(jnp.int64) * L + jnp.arange(L)
+        valid = gpos <= n_true - k
+        return lo[None], hi[None], valid[None]
+
+    return jax.jit(step)
+
+
+def sharded_minimizer_step(mesh: Mesh, k: int, window_size: int):
+    """Jitted step: minimizers (windowed lexicographic-min k-mer hash,
+    reference: bionumpy/sequence/minimizers.py) over one long sharded
+    sequence.  window_size = number of bases per minimizer window."""
+    from ..ops.minimizers import _pair_min
+    n_dev = mesh.devices.size
+    n_kmers = window_size - k + 1
+    assert n_kmers >= 1, (window_size, k)
+    halo = _halo_len(window_size)
+    perm = [((i + 1) % n_dev, i) for i in range(n_dev)]
+
+    @partial(shard_map, mesh=mesh, in_specs=(P("dp", None), P()),
+             out_specs=(P("dp", None), P("dp", None), P("dp", None)))
+    def step(codes_b, n_true):
+        codes = codes_b[0]
+        L = codes.shape[0]
+        recv = jax.lax.ppermute(codes[:halo], "dp", perm)
+        lo, hi = _extended_limbs(codes, recv, k, halo)
+        span = 1
+        while span < n_kmers:
+            stepn = min(span, n_kmers - span)
+            hi_s = jnp.concatenate([
+                hi[stepn:], jnp.full(stepn, 0xFFFFFFFF, jnp.uint32)])
+            lo_s = jnp.concatenate([
+                lo[stepn:], jnp.full(stepn, 0xFFFFFFFF, jnp.uint32)])
+            hi, lo = _pair_min(hi, lo, hi_s, lo_s)
+            span += stepn
+        lo, hi = lo[:L], hi[:L]
+        idx = jax.lax.axis_index("dp")
+        gpos = idx.astype(jnp.int64) * L + jnp.arange(L)
+        valid = gpos <= n_true - window_size
+        return lo[None], hi[None], valid[None]
+
+    return jax.jit(step)

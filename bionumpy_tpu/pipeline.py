@@ -35,16 +35,19 @@ from .instrument import stage
 TARGET_BUCKET = 1 << 25
 
 
-def _inflated_chunks(path: str, target_raw: int,
-                     pool: ThreadPoolExecutor) -> Iterator[bytes]:
-    """Yield inflated byte chunks of ~target_raw bytes (NOT entry-aligned;
-    _entry_aligned adds the carry)."""
+_PART_BYTES = 8 << 20  # part size for non-member sources
+
+
+def _inflated_parts(path: str, pool: ThreadPoolExecutor) -> Iterator[bytes]:
+    """Yield inflated byte pieces (gzip members, or ~8 MB slices for
+    plain / single-member files).  Multi-member inflation runs ahead on
+    the pool with a bounded window."""
     if not path.endswith(".gz"):
         with stage("read"):
             with open(path, "rb") as f:
                 data = f.read()
-        for i in range(0, len(data), target_raw):
-            yield data[i: i + target_raw]
+        for i in range(0, len(data), _PART_BYTES):
+            yield data[i: i + _PART_BYTES]
         return
     from .io.pgzip import _inflate_segment, inflate_members, member_offsets
     with stage("read"):
@@ -54,29 +57,38 @@ def _inflated_chunks(path: str, target_raw: int,
     if len(offsets) < 2:
         with stage("inflate", n_bytes=len(data)):
             raw = _inflate_segment(data)
-        for i in range(0, len(raw), target_raw):
-            yield raw[i: i + target_raw]
+        for i in range(0, len(raw), _PART_BYTES):
+            yield raw[i: i + _PART_BYTES]
         return
-    # group members into ~target_raw inflated batches using the
-    # compression ratio of member 0 as the estimate
-    bounds = np.append(offsets, len(data))
-    with stage("inflate"):
-        ratio = max(len(_inflate_segment(bytes(data[: int(bounds[1])])))
-                    / max(int(bounds[1]), 1), 0.1)
-    group_bounds = []
-    gstart, est_acc = 0, 0.0
-    n = len(bounds) - 1
-    for j in range(n):
-        est_acc += float(bounds[j + 1] - bounds[j]) * ratio
-        if est_acc >= target_raw or j == n - 1:
-            group_bounds.append((gstart, j + 1))
-            gstart, est_acc = j + 1, 0.0
-    for a, b in group_bounds:
-        seg = data[int(bounds[a]): int(bounds[b])]
-        rel = offsets[a:b] - int(bounds[a])
-        with stage("inflate", n_bytes=len(seg)):
-            parts = inflate_members(seg, rel, pool=pool)
-        yield b"".join(parts)
+    import zlib
+    from collections import deque
+    bounds = list(offsets) + [len(data)]
+    futs = deque()
+    window = 16
+    j = 0
+    n_seg = len(bounds) - 1
+    taken = 0
+    try:
+        while taken < n_seg:
+            while j < n_seg and len(futs) < window:
+                futs.append(pool.submit(
+                    _inflate_segment, data[bounds[j]: bounds[j + 1]]))
+                j += 1
+            with stage("inflate",
+                       n_bytes=int(bounds[taken + 1] - bounds[taken])):
+                part = futs.popleft().result()
+            taken += 1
+            yield part
+    except zlib.error:
+        # false-positive boundary: fall back to the repairing inflater
+        # for everything not yet yielded
+        for f in futs:
+            f.cancel()
+        rel = offsets[taken:] - int(bounds[taken])
+        with stage("inflate"):
+            parts = inflate_members(data[int(bounds[taken]):], rel,
+                                    pool=pool)
+        yield from parts
 
 
 def _entry_boundary(buf: bytes) -> int:
@@ -93,54 +105,62 @@ def _entry_boundary(buf: bytes) -> int:
     return pos + 1
 
 
-def _entry_aligned(chunks: Iterator[bytes]) -> Iterator[bytes]:
-    """Re-chunk inflated FASTQ bytes on 4-line entry boundaries (the
-    reference's chunk-carry semantics, bionumpy/io/parser.py:160-165)."""
-    carry = b""
-    for chunk in chunks:
-        buf = carry + chunk if carry else chunk
-        end = _entry_boundary(buf)
-        if end == 0:
-            carry = buf
-            continue
-        yield buf[:end]
-        carry = buf[end:]
-    if carry:
-        if not carry.endswith(b"\n"):
-            carry += b"\n"
-        if carry.count(b"\n") % 4:
-            raise ValueError("truncated FASTQ: incomplete final entry")
-        yield carry
+def _cut_parts(parts: list, nl_counts: list):
+    """Split accumulated parts at the last complete 4-line entry.
+    Returns (batch_bytes_or_None, carry_parts, carry_nl_counts).  Only
+    the boundary part is sliced; the batch is ONE join."""
+    total_nl = sum(nl_counts)
+    if total_nl < 4:
+        return None, parts, nl_counts
+    need = total_nl % 4 + 1  # newlines to walk back past, from the end
+    for j in range(len(parts) - 1, -1, -1):
+        if nl_counts[j] >= need:
+            pos = len(parts[j])
+            for _ in range(need):
+                pos = parts[j].rfind(b"\n", 0, pos)
+            boundary = pos + 1
+            head = parts[: j] + [parts[j][:boundary]]
+            tail_first = parts[j][boundary:]
+            # tail keeps the need-1 newlines after the boundary newline
+            carry = ([tail_first] if tail_first else []) + parts[j + 1:]
+            carry_nl = ([need - 1] if tail_first else []) \
+                + nl_counts[j + 1:]
+            return b"".join(head), carry, carry_nl
+        need -= nl_counts[j]
+    return None, parts, nl_counts
 
 
 def _batch_raw_bytes(path: str, target_bases: int,
                      pool: ThreadPoolExecutor) -> Iterator[bytes]:
     """Entry-aligned inflated FASTQ batches of ~target_bases sequence
-    bases.  The bases-per-raw-byte ratio is measured on the first chunk
-    (headers/quality can dominate raw bytes) so batches fill their
-    device bucket instead of padding ~30% of it."""
-    chunks = _inflated_chunks(path, target_bases, pool)
-    first = next(chunks, None)
-    if first is None:
-        return
-    seq_frac = max(_seq_fraction(first), 0.05)
-    target_raw = int(target_bases / seq_frac)
-
-    def rechunked():
-        buf = [first]
-        size = len(first)
-        for c in chunks:
-            buf.append(c)
-            size += len(c)
-            while size >= target_raw:
-                joined = b"".join(buf)
-                yield joined[:target_raw]
-                rest = joined[target_raw:]
-                buf, size = [rest], len(rest)
-        if size:
-            yield b"".join(buf)
-
-    yield from _entry_aligned(rechunked())
+    bases, assembled with exactly one byte-join per batch (the carry
+    semantics of the reference reader, bionumpy/io/parser.py:160-165).
+    The bases-per-raw-byte ratio is measured on the first part so
+    batches fill their device bucket instead of padding ~30% of it."""
+    parts, nl_counts = [], []
+    total_bytes = 0
+    target_raw = None
+    for part in _inflated_parts(path, pool):
+        if not part:
+            continue
+        parts.append(part)
+        nl_counts.append(part.count(b"\n"))
+        total_bytes += len(part)
+        if target_raw is None:
+            seq_frac = max(_seq_fraction(part), 0.05)
+            target_raw = max(int(target_bases / seq_frac), 1 << 16)
+        if total_bytes >= target_raw:
+            batch, parts, nl_counts = _cut_parts(parts, nl_counts)
+            total_bytes = sum(map(len, parts))
+            if batch:
+                yield batch
+    if parts:
+        joined = b"".join(parts)
+        if not joined.endswith(b"\n"):
+            joined += b"\n"
+        if joined.count(b"\n") % 4:
+            raise ValueError("truncated FASTQ: incomplete final entry")
+        yield joined
 
 
 def _seq_fraction(chunk: bytes) -> float:

@@ -51,17 +51,28 @@ def test_plain_fastq(tmp_path):
     assert np.array_equal(counts.counts, expected.counts)
 
 
-def test_entry_carry_across_chunks():
-    from bionumpy_tpu.pipeline import _entry_aligned
+def test_entry_carry_across_parts():
+    from bionumpy_tpu.pipeline import _cut_parts
     entry = b"@r\nACGTACGT\n+\nIIIIIIII\n"
     raw = entry * 100
-    # chunk sizes that never align with the 23-byte entry
-    chunks = [raw[i: i + 37] for i in range(0, len(raw), 37)]
-    batches = list(_entry_aligned(iter(chunks)))
-    assert b"".join(batches) == raw
-    for b in batches:
-        assert b.startswith(b"@") and b.endswith(b"\n")
-        assert b.count(b"\n") % 4 == 0
+    # part sizes that never align with the 23-byte entry
+    for size in (7, 37, 100, 23 * 3):
+        parts = [raw[i: i + size] for i in range(0, len(raw), size)]
+        nl = [p.count(b"\n") for p in parts]
+        out = []
+        acc, acc_nl = [], []
+        for p, c in zip(parts, nl):
+            acc.append(p)
+            acc_nl.append(c)
+            batch, acc, acc_nl = _cut_parts(acc, acc_nl)
+            if batch:
+                out.append(batch)
+            assert acc_nl == [p.count(b"\n") for p in acc]
+        out += ["".encode().join(acc)]
+        assert b"".join(out) == raw
+        for b in out[:-1]:
+            assert b.startswith(b"@") and b.endswith(b"\n")
+            assert b.count(b"\n") % 4 == 0
 
 
 def test_truncated_raises(tmp_path):
