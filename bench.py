@@ -98,13 +98,290 @@ def numpy_whole_job(members, k):
     return all_h[keep], np.add.reduceat(all_c, keep)
 
 
-def main():
+def _emit(metric, value, unit, vs_baseline):
+    print(json.dumps({"metric": metric, "value": value, "unit": unit,
+                      "vs_baseline": vs_baseline}))
+
+
+def config1():
+    """FASTQ chunk read + per-base composition (BASELINE config 1),
+    end-to-end on the replicated multi-member file."""
+    import jax
+    import jax.numpy as jnp
+    from concurrent.futures import ThreadPoolExecutor
+    from bionumpy_tpu.ops.seq import composition_from_packed
+    from bionumpy_tpu.pipeline import (_batch_raw_bytes, _parse_batch,
+                                       _prefetched)
+
     member = open(FASTQ, "rb").read()
+    _ensure_bench_file(member)
+    device = jax.devices()[0]
+
+    def job():
+        pool = ThreadPoolExecutor(4)
+        totals = np.zeros(4, np.int64)
+        pending = None
+        n_bases = n_reads = 0
+        try:
+            for raw in _prefetched(_batch_raw_bytes(
+                    BENCH_FILE, (1 << 25) - (1 << 21), pool)):
+                words, ends, nb, nr = _parse_batch(raw)
+                words_d = jax.device_put(words, device)
+                out = composition_from_packed(words_d, nb)
+                if pending is not None:
+                    totals += np.asarray(pending).astype(np.int64)
+                pending = out
+                n_bases += nb
+                n_reads += nr
+            if pending is not None:
+                totals += np.asarray(pending).astype(np.int64)
+        finally:
+            pool.shutdown(wait=False)
+        return totals, n_bases, n_reads
+
+    job()  # warmup/compile
+    times = []
+    for _ in range(TIMED_ITERS):
+        t0 = time.perf_counter()
+        totals, n_bases, n_reads = job()
+        times.append(time.perf_counter() - t0)
+    t = min(times)
+
+    # exactness vs independent numpy recompute on one member
+    raw = np.frombuffer(zlib.decompress(member, wbits=31), np.uint8)
+    codes, _ = numpy_parse_fastq(raw)
+    expected = np.bincount(codes, minlength=4) * REPLICATION
+    assert np.array_equal(totals, expected), (totals, expected)
+
+    base_times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(BASELINE_MEMBERS):
+            r = np.frombuffer(zlib.decompress(member, wbits=31), np.uint8)
+            c, _l = numpy_parse_fastq(r)
+            np.bincount(c, minlength=4)
+        base_times.append(time.perf_counter() - t0)
+    t_base = min(base_times) * (REPLICATION / BASELINE_MEMBERS)
+    _emit(f"config1 FASTQ read + per-base composition end-to-end "
+          f"({n_reads} reads, exact; numpy 1-core {t_base:.1f}s)",
+          round(n_bases / t / 1e6, 2), "Mbases/s", round(t_base / t, 2))
+
+
+def config3():
+    """Minimizers (k=21, 10 kmers/window) + GC 1000bp track on sacCer3 —
+    both consume ONE device-resident upload (BASELINE config 3)."""
+    import bionumpy_tpu as bnp
+    from bionumpy_tpu.encodings.alphabet_encoding import ACGTnEncoding
+    from bionumpy_tpu.ops.resident import (device_seqs,
+                                           reset_transfer_counters)
+    from bionumpy_tpu.ops import resident
+    from bionumpy_tpu.ops.tracks import gc_track
+
+    fa = bnp.open("/root/reference/example_data/sacCer3.fa.gz",
+                  buffer_type=bnp.MultiLineFastaBuffer).read()
+    seq = bnp.change_encoding(fa.sequence, ACGTnEncoding)
+    flat = np.asarray(seq.ravel().raw()) % 4
+    seqs = bnp.EncodedRaggedArray(
+        bnp.EncodedArray(flat, bnp.DNAEncoding), seq.lengths)
+    n_bases = int(np.asarray(seqs.lengths).sum())
+    k, w = 21, 30
+
+    def job():
+        mins = bnp.get_minimizers(seqs, k, w)
+        gc = gc_track(seqs, 1000)
+        return mins, gc
+
+    mins, gc = job()  # warmup + compile
+    reset_transfer_counters()
+    times = []
+    for _ in range(TIMED_ITERS):
+        import bionumpy_tpu.ops.resident as res
+        if hasattr(seqs, res._CACHE_ATTR):
+            delattr(seqs, res._CACHE_ATTR)  # re-upload each iteration
+        t0 = time.perf_counter()
+        mins, gc = job()
+        _ = int(np.asarray(mins.ravel().raw())[0]) + int(gc.sum())
+        times.append(time.perf_counter() - t0)
+    t = min(times)
+    assert resident.TRANSFER_COUNT == TIMED_ITERS, \
+        resident.TRANSFER_COUNT  # one upload shared by both ops
+
+    # exactness: windowed-min + GC vs host recompute
+    kmers = np.asarray(bnp.get_kmers(seqs[0:1], k)[0].raw())
+    got0 = np.asarray(mins[0].raw())
+    for i in (0, 1000, 50000):
+        assert got0[i] == kmers[i: i + w - k + 1].min()
+    gc_exp = np.add.reduceat((flat == 1) | (flat == 2),
+                             np.arange(0, len(flat), 1000))
+    assert np.array_equal(gc, gc_exp)
+
+    base_times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        h = numpy_reference_hashes(flat[: n_bases // 4],
+                                   k)  # quarter, scaled
+        np.minimum.reduce([h[i: len(h) - 10 + i] for i in range(10)])
+        np.add.reduceat((flat == 1) | (flat == 2),
+                        np.arange(0, len(flat), 1000))
+        base_times.append((time.perf_counter() - t0) * 4)
+    t_base = min(base_times)
+    _emit(f"config3 minimizers(k=21,w=10)+GC track on sacCer3 "
+          f"({n_bases / 1e6:.1f} Mbases, one shared H2D, exact; numpy "
+          f"1-core {t_base:.1f}s)",
+          round(n_bases / t / 1e6, 2), "Mbases/s", round(t_base / t, 2))
+
+
+def config4():
+    """JASPAR MA0080.1 PWM scan, match positions exact (config 4)."""
+    import bionumpy_tpu as bnp
+    from bionumpy_tpu.io.jaspar import read_jaspar_matrix
+    from bionumpy_tpu.sequence import get_motif_scores
+
+    pwm = read_jaspar_matrix(
+        "/root/reference/example_data/MA0080.1.jaspar")
+    reads = bnp.open(FASTQ).read()
+    base = bnp.change_encoding(reads.sequence, bnp.DNAEncoding)
+    flat = np.tile(np.asarray(base.ravel().raw()), REPLICATION // 4)
+    lengths = np.tile(np.asarray(base.lengths), REPLICATION // 4)
+    seqs = bnp.EncodedRaggedArray(
+        bnp.EncodedArray(flat, bnp.DNAEncoding), lengths)
+    n_bases = len(flat)
+
+    from bionumpy_tpu.sequence import get_motif_matches
+    threshold = 6.0
+
+    def job():
+        return get_motif_matches(seqs, pwm, threshold)
+
+    job()
+    times = []
+    for _ in range(TIMED_ITERS):
+        from bionumpy_tpu.ops import resident as res
+        if hasattr(seqs, res._CACHE_ATTR):
+            delattr(seqs, res._CACHE_ATTR)
+        t0 = time.perf_counter()
+        matches = job()
+        _ = int(np.asarray(matches.lengths).sum())
+        times.append(time.perf_counter() - t0)
+    t = min(times)
+
+    # match-position exactness on the unreplicated reads vs host scan
+    got_base = get_motif_matches(base, pwm, threshold)
+    host = pwm.calculate_scores(base.ravel())
+    from bionumpy_tpu.ragged import RaggedArray, RaggedShape
+    host_trim = RaggedArray(host, RaggedShape(base.lengths))[
+        :, : -pwm.window_size + 1]
+    exp_flat = []
+    for i in range(len(base)):
+        exp_flat.append(np.flatnonzero(np.asarray(host_trim[i]) >
+                                       threshold))
+    exp_lengths = [len(e) for e in exp_flat]
+    assert np.array_equal(np.asarray(got_base.lengths), exp_lengths)
+    assert np.array_equal(np.asarray(got_base.ravel()),
+                          np.concatenate(exp_flat))
+
+    w = pwm.window_size
+    matrix32 = pwm.matrix.astype(np.float32)
+    codes_q = flat[: n_bases // 8]
+    base_times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        s = np.zeros(len(codes_q), np.float32)
+        for off in range(w):
+            s[: len(codes_q) - off] += matrix32[codes_q[off:], off]
+        base_times.append((time.perf_counter() - t0) * 8)
+    t_base = min(base_times)
+    _emit(f"config4 PWM MA0080.1 scan ({n_bases / 1e6:.0f} Mbases, match "
+          f"positions exact vs host; numpy 1-core {t_base:.1f}s)",
+          round(n_bases / t / 1e6, 2), "Mbases/s", round(t_base / t, 2))
+
+
+def config5():
+    """VCF SBS96 mutation signatures + BED intersect/jaccard (config 5);
+    the interval mask/pileup also runs on device (get_pileup_device)."""
+    import bionumpy_tpu as bnp
+    from bionumpy_tpu.arithmetics import (get_pileup, get_pileup_device,
+                                          merge_intervals, sort_intervals)
+    ex = "/root/reference/example_data"
+
+    t0 = time.perf_counter()
+    variants = bnp.open(f"{ex}/1000Genomes_chr21-22.vcf.gz").read()
+    is_snp = np.asarray(variants.ref_seq.lengths == 1) & \
+        np.asarray(variants.alt_seq.lengths == 1)
+    snps = variants[is_snp]
+    n_var = len(variants)
+    t_read = time.perf_counter() - t0
+
+    a = bnp.open(f"{ex}/ctcf_chr21-22.bed.gz").read()
+    chroms = {"chr21": 46709983, "chr22": 50818468}
+    from bionumpy_tpu.genomic_data import Geometry
+    geom = Geometry(chroms)
+    sorted_a = geom.sort(a)
+    t0 = time.perf_counter()
+    j = geom.jaccard(sorted_a, sorted_a)
+    t_jaccard = time.perf_counter() - t0
+    assert abs(j - 1.0) < 1e-9
+
+    chr21 = sorted_a[np.asarray(sorted_a.chromosome.tolist()) == "chr21"]
+    size21 = chroms["chr21"]
+    bin_size = 1000
+    t0 = time.perf_counter()
+    depth_host = get_pileup(chr21, size21)  # RLE, O(intervals)
+    t_host_pileup = time.perf_counter() - t0
+    # device dense-binned track: covered bases per 1000bp bin (psum-able
+    # partial; D2H is bins, not positions)
+    dev_bins = get_pileup_device(chr21, size21, bin_size=bin_size)
+    times = []
+    for _ in range(TIMED_ITERS):
+        t0 = time.perf_counter()
+        dev_bins = get_pileup_device(chr21, size21, bin_size=bin_size)
+        _ = int(dev_bins[0])
+        times.append(time.perf_counter() - t0)
+    t_dev_pileup = min(times)
+    # exactness + dense-host baseline: scatter + cumsum + reshape over
+    # every position (what a dense-track user pays on host)
+    starts_np = np.asarray(chr21.start)
+    stops_np = np.asarray(chr21.stop)
+    base_times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        diff = np.zeros(size21 + 1, np.int64)
+        np.add.at(diff, starts_np, 1)
+        np.add.at(diff, stops_np, -1)
+        dense = np.cumsum(diff[:-1])
+        pad = (-len(dense)) % bin_size
+        exp_bins = np.concatenate([dense, np.zeros(pad, dense.dtype)]) \
+            .reshape(-1, bin_size).sum(axis=-1)
+        base_times.append(time.perf_counter() - t0)
+    t_host_dense = min(base_times)
+    assert np.array_equal(dev_bins, exp_bins)
+    assert np.array_equal(
+        dev_bins, np.concatenate([
+            depth_host.to_array(),
+            np.zeros((-size21) % bin_size, np.int64)]).reshape(
+                -1, bin_size).sum(axis=-1))
+
+    rate = n_var / t_read
+    _emit(f"config5 SBS96 VCF read {n_var} variants ({rate:.0f} var/s), "
+          f"jaccard {t_jaccard * 1e3:.0f}ms, chr21 1000bp binned pileup "
+          f"device {t_dev_pileup * 1e3:.0f}ms vs host dense "
+          f"{t_host_dense * 1e3:.0f}ms / host RLE "
+          f"{t_host_pileup * 1e3:.0f}ms (all equal)",
+          round(rate / 1e3, 2), "kvariants/s",
+          round(t_host_dense / t_dev_pileup, 2))
+
+
+def _ensure_bench_file(member: bytes):
     if not os.path.exists(BENCH_FILE) or \
             os.path.getsize(BENCH_FILE) != len(member) * REPLICATION:
         with open(BENCH_FILE, "wb") as f:
             for _ in range(REPLICATION):
                 f.write(member)
+
+
+def main():
+    member = open(FASTQ, "rb").read()
+    _ensure_bench_file(member)
 
     import jax  # noqa: F401  (initialize backend before timing)
     from bionumpy_tpu import instrument
@@ -161,4 +438,6 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    which = sys.argv[1] if len(sys.argv) > 1 else "2"
+    {"1": config1, "2": main, "3": config3, "4": config4,
+     "5": config5}[which]()

@@ -116,6 +116,42 @@ def get_pileup(intervals, chromosome_size: int) -> GenomicRunLengthArray:
     return GenomicRunLengthArray(positions, values[:-1], do_clean=True)
 
 
+def get_pileup_device(intervals, chromosome_size: int,
+                      bin_size: int = None):
+    """Device twin of get_pileup: boundary scatter + cumsum on the
+    accelerator (ops/tracks.dense_pileup), RLE-compressed on return so
+    the result type matches the host path.  With `bin_size`, returns the
+    covered-base count per bin instead (ops/tracks.binned_pileup) — the
+    dense-binned variant whose partials psum-merge across a mesh
+    (parallel/reductions.sharded_pileup_step).
+
+    >>> from bionumpy_tpu.arithmetics import get_pileup_device
+    >>> from bionumpy_tpu.datatypes import Interval
+    >>> iv = Interval(["chr1", "chr1"], [0, 8], [10, 20])
+    >>> get_pileup_device(iv, 22).to_array().astype(int)
+    array([1, 1, 1, 1, 1, 1, 1, 1, 2, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0])
+    >>> get_pileup_device(iv, 22, bin_size=10)
+    array([12, 10,  0], dtype=int32)
+    """
+    import jax.numpy as jnp
+    from ..ops.tracks import binned_pileup, dense_pileup
+
+    starts = np.asarray(intervals.start, dtype=np.int32) \
+        if len(intervals) else np.empty(0, np.int32)
+    stops = np.asarray(intervals.stop, dtype=np.int32) \
+        if len(intervals) else np.empty(0, np.int32)
+    valid = np.ones(len(starts), bool)
+    if bin_size is not None:
+        n_bins = -(-int(chromosome_size) // bin_size)
+        return np.asarray(binned_pileup(
+            jnp.asarray(starts), jnp.asarray(stops), jnp.asarray(valid),
+            n_bins, bin_size))[:n_bins]
+    depth = np.asarray(dense_pileup(
+        jnp.asarray(starts), jnp.asarray(stops), jnp.asarray(valid),
+        int(chromosome_size)))
+    return GenomicRunLengthArray.from_array(depth)
+
+
 def get_boolean_mask(intervals, chromosome_size: int):
     """Boolean RLE mask of positions covered by any interval
     (reference: bionumpy/arithmetics/intervals.py:166-221).

@@ -143,6 +143,16 @@ def kmer_limbs_packed(words: jnp.ndarray, k: int):
     return _window_limbs(words, n_positions, k)
 
 
+@partial(jax.jit, static_argnames=("k",))
+def kmer_pairs_packed(words: jnp.ndarray, k: int):
+    """All window hashes as ONE (n, 2) uint32 [lo, hi] array: a single
+    contiguous D2H whose little-endian pairs read as int64 on host with
+    a zero-copy view (two fetches + a host 64-bit combine are several
+    seconds on a throttled host for genome-scale outputs)."""
+    lo, hi = kmer_limbs_packed(words, k)
+    return jnp.stack([lo, hi], axis=-1)
+
+
 def _correction_limbs(words: jnp.ndarray, ends: jnp.ndarray,
                       starts: jnp.ndarray, k: int):
     """Limbs + in-row mask of the up-to-(k-1) row-crossing windows that

@@ -51,6 +51,27 @@ def pwm_scores_packed(words: jnp.ndarray, matrix: jnp.ndarray,
     return scores
 
 
+@partial(jax.jit, static_argnames=("window_size", "cap"))
+def pwm_match_compact(scores: jnp.ndarray, ends: jnp.ndarray, n_true,
+                      threshold, window_size: int, cap: int):
+    """Compact the flat positions whose window score exceeds `threshold`
+    (and whose window stays inside its row) to the front of a cap-sized
+    buffer — D2H is then proportional to the MATCHES, not the bases.
+    Returns (positions int32 (cap,), n_matches)."""
+    n = scores.shape[0]
+    marks = jnp.zeros(n + 1, jnp.int32)
+    marks = marks.at[jnp.maximum(ends - (window_size - 1), 0)].add(1)
+    marks = marks.at[ends].add(-1)
+    invalid = jnp.cumsum(marks[:-1]) > 0
+    pos = jnp.arange(n, dtype=jnp.int32)
+    hit = (scores > threshold) & ~invalid & \
+        (pos < jnp.minimum(ends[-1], n_true))
+    n_matches = hit.sum()
+    _, p2 = jax.lax.sort(((~hit).astype(jnp.uint32), pos), num_keys=1,
+                         is_stable=True)
+    return p2[:cap], n_matches
+
+
 @partial(jax.jit, static_argnames=("window_size",))
 def pwm_best_scores(codes: jnp.ndarray, dist: jnp.ndarray,
                     matrix: jnp.ndarray, window_size: int):

@@ -22,6 +22,22 @@ def composition_counts(codes: jnp.ndarray, valid: jnp.ndarray,
 
 
 @jax.jit
+def composition_from_packed(words: jnp.ndarray, n_true) -> jnp.ndarray:
+    """ACGT composition counts straight from 2-bit-packed words: unpack
+    (repeat + shift) and four masked reductions — no scatters, one HBM
+    pass (the device half of bench config 1; host twin is np.bincount).
+    """
+    n_positions = (words.shape[0] - 2) * 16
+    p0 = jnp.repeat(words[:-2], 16)
+    bit = jnp.tile(jnp.arange(16, dtype=jnp.uint32) * 2,
+                   words.shape[0] - 2)
+    codes = (p0 >> bit) & 3
+    valid = jnp.arange(n_positions) < n_true
+    return jnp.stack([jnp.sum((codes == c) & valid, dtype=jnp.int32)
+                      for c in range(4)])
+
+
+@jax.jit
 def lut_gather(table: jnp.ndarray, codes: jnp.ndarray):
     """table[codes] — encode/decode/complement on device."""
     return jnp.take(table, codes.astype(jnp.int32))

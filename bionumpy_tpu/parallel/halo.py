@@ -75,7 +75,7 @@ def sharded_kmer_hash_step(mesh: Mesh, k: int):
         lo, hi = _extended_limbs(codes, recv, k, halo)
         lo, hi = lo[:L], hi[:L]
         idx = jax.lax.axis_index("dp")
-        gpos = idx.astype(jnp.int64) * L + jnp.arange(L)
+        gpos = idx * L + jnp.arange(L)  # int32: fine below 2^31 bases
         valid = gpos <= n_true - k
         return lo[None], hi[None], valid[None]
 
@@ -111,7 +111,7 @@ def sharded_minimizer_step(mesh: Mesh, k: int, window_size: int):
             span += stepn
         lo, hi = lo[:L], hi[:L]
         idx = jax.lax.axis_index("dp")
-        gpos = idx.astype(jnp.int64) * L + jnp.arange(L)
+        gpos = idx * L + jnp.arange(L)  # int32: fine below 2^31 bases
         valid = gpos <= n_true - window_size
         return lo[None], hi[None], valid[None]
 

@@ -5,13 +5,15 @@ from .dna import (get_reverse_complement, get_sequences,
 from .kmers import KmerEncoder, count_kmers, get_kmers
 from .minimizers import Minimizers, get_minimizers
 from .position_weight_matrix import (PWM, PositionWeightMatrix,
+                                     get_motif_matches,
                                      get_motif_scores)
 from .string_matcher import match_string
 from .translate import translate_dna_to_protein
 from .genes import get_transcript_sequences
 
 __all__ = ["get_kmers", "count_kmers", "get_minimizers",
-           "translate_dna_to_protein", "get_motif_scores", "PWM",
+           "translate_dna_to_protein", "get_motif_scores",
+           "get_motif_matches", "PWM",
            "get_reverse_complement", "get_strand_specific_sequences",
            "get_sequences", "count_encoded", "match_string",
            "EncodedCounts", "KmerEncoder", "Minimizers",

@@ -84,16 +84,18 @@ def _device_dna_kmers(sequence: EncodedRaggedArray,
     """TPU path: device-resident packed words (one H2D per chunk, cached
     on the array — ops/resident.py) -> (lo, hi) limb kernel -> int64
     host combine -> contiguous per-row gather of valid windows."""
-    from ..ops.kmers import kmer_limbs_packed
+    from ..ops.device import bucket_size
+    from ..ops.kmers import kmer_pairs_packed
     from ..ops.resident import device_seqs
 
     ds = device_seqs(sequence)
     lengths = ds.lengths
-    lo, hi = kmer_limbs_packed(ds.words, k)
-    lo = np.asarray(lo[:ds.n])
-    hi = np.asarray(hi[:ds.n])
-    hashes = (lo.astype(np.uint64) |
-              (hi.astype(np.uint64) << np.uint64(32))).view(np.int64)
+    pairs = kmer_pairs_packed(ds.words, k)
+    n_fetch = min(bucket_size(max(ds.n, 1), 1 << 14), ds.n_positions)
+    # one contiguous D2H; little-endian (lo, hi) pairs ARE int64
+    flat_pairs = np.ascontiguousarray(
+        np.asarray(pairs[:n_fetch].reshape(-1)))
+    hashes = flat_pairs.view(np.int64)[:ds.n]
     out_lengths = np.maximum(lengths - k + 1, 0)
     starts = np.insert(np.cumsum(lengths), 0, 0)[:-1]
     view = RaggedView(starts, out_lengths)

@@ -60,17 +60,19 @@ def get_minimizers(sequence, k: int, window_size: int) -> EncodedRaggedArray:
 
 def _device_minimizers(sequence: EncodedRaggedArray, k: int,
                        window_size: int) -> EncodedRaggedArray:
-    from ..ops.minimizers import minimizer_limbs_packed
+    from ..ops.device import bucket_size
+    from ..ops.minimizers import minimizer_pairs_packed
     from ..ops.resident import device_seqs
 
     ds = device_seqs(sequence)
     lengths = ds.lengths
     n_kmers = window_size - k + 1
-    lo, hi = minimizer_limbs_packed(ds.words, k, n_kmers)
-    lo = np.asarray(lo[:ds.n])
-    hi = np.asarray(hi[:ds.n])
-    hashes = (lo.astype(np.uint64) |
-              (hi.astype(np.uint64) << np.uint64(32))).view(np.int64)
+    pairs = minimizer_pairs_packed(ds.words, k, n_kmers)
+    n_fetch = min(bucket_size(max(ds.n, 1), 1 << 14), ds.n_positions)
+    # one contiguous D2H; little-endian (lo, hi) pairs ARE int64
+    flat_pairs = np.ascontiguousarray(
+        np.asarray(pairs[:n_fetch].reshape(-1)))
+    hashes = flat_pairs.view(np.int64)[:ds.n]
     out_lengths = np.maximum(lengths - window_size + 1, 0)
     starts = np.insert(np.cumsum(lengths), 0, 0)[:-1]
     valid = hashes[RaggedView(starts, out_lengths).get_flat_indices()]

@@ -135,6 +135,60 @@ def _device_motif_scores(sequence: EncodedRaggedArray,
     return np.asarray(scores[:n], dtype=float)
 
 
+def get_motif_matches(sequence, pwm: PWM, threshold: float,
+                      cap: int = 1 << 20) -> RaggedArray:
+    """Within-row positions whose motif score exceeds `threshold` — the
+    TPU-native motif scan: scores never leave the device; the match
+    positions are compacted on device so D2H traffic is proportional to
+    the MATCHES (get_motif_scores materializes every window's score,
+    reference: bionumpy/sequence/position_weight_matrix.py:166-196,
+    which is transport-bound at genome scale).
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> import bionumpy_tpu as bnp
+    >>> from bionumpy_tpu.sequence import PWM, get_motif_matches
+    >>> pwm = PWM.from_dict({"A": [0.8, 0.1], "C": [0.1, 0.8],
+    ...                      "G": [0.05, 0.05], "T": [0.05, 0.05]})
+    >>> m = get_motif_matches(
+    ...     bnp.as_encoded_array(["TTACTT", "ACAC"], bnp.DNAEncoding),
+    ...     pwm, threshold=1.0)
+    >>> [list(np.asarray(row)) for row in m]
+    [[2], [0, 2]]
+    """
+    import jax.numpy as jnp
+    from ..ops.pallas_pwm import pwm_scores_packed_auto
+    from ..ops.pwm import pwm_match_compact
+    from ..ops.resident import device_seqs
+    from ..ragged import RaggedArray as _RA
+
+    sequence = as_encoded_array(sequence)
+    sequence = pwm.as_valid_encoded_array(sequence)
+    if isinstance(sequence, EncodedArray):
+        sequence = EncodedRaggedArray(sequence, [len(sequence)])
+    assert pwm.matrix.shape[0] == 4 and \
+        getattr(sequence.encoding, "alphabet_size", 0) == 4, \
+        "device motif matching needs a 4-letter alphabet"
+    ds = device_seqs(sequence)
+    scores = pwm_scores_packed_auto(ds.words, pwm.matrix, pwm.window_size)
+    while True:
+        positions, n_matches = pwm_match_compact(
+            scores[: ds.n_positions], ds.ends, ds.n,
+            jnp.float32(threshold), pwm.window_size,
+            min(cap, ds.n_positions))
+        n = int(np.asarray(n_matches))
+        if n <= cap or cap >= ds.n_positions:
+            break
+        cap *= 2
+    flat = np.asarray(positions[: min(cap, ds.n_positions)])[:n]
+    starts = np.insert(np.cumsum(ds.lengths), 0, 0)
+    row = np.searchsorted(starts, flat, side="right") - 1
+    within = flat - starts[row]
+    lengths = np.bincount(row, minlength=len(ds.lengths))
+    return _RA(within.astype(np.int64), lengths)
+
+
 def get_motif_scores(sequence, pwm: PWM) -> RaggedArray:
     """Log-likelihood motif score at every position of every sequence
     (reference: bionumpy/sequence/position_weight_matrix.py:166-196).

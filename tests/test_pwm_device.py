@@ -117,3 +117,23 @@ def test_pwm_scores_packed_auto_routes_xla_on_cpu(packed_input):
     np.testing.assert_allclose(
         scores, _host_scores(flat, matrix.astype(np.float32))[:v],
         rtol=1e-5, atol=1e-5)
+
+
+def test_get_motif_matches_device_compaction():
+    from bionumpy_tpu.sequence import get_motif_matches, get_motif_scores
+    rng = np.random.default_rng(53)
+    seqs_str = ["".join(rng.choice(list("ACGT"), rng.integers(40, 120)))
+                for _ in range(300)]
+    seqs = bnp.as_encoded_array(seqs_str, bnp.DNAEncoding)
+    pwm = PWM.from_dict({"A": [0.5, 0.2, 0.1], "C": [0.2, 0.5, 0.3],
+                         "G": [0.2, 0.2, 0.6], "T": [0.1, 0.1, 0.0]})
+    threshold = 1.0
+    got = get_motif_matches(seqs, pwm, threshold)
+    scores = get_motif_scores(seqs, pwm)
+    for i in range(0, 300, 23):
+        exp = np.flatnonzero(np.asarray(scores[i]) > threshold)
+        np.testing.assert_array_equal(np.asarray(got[i]), exp)
+    # tiny cap exercises the retry-doubling path
+    got2 = get_motif_matches(seqs, pwm, threshold, cap=4)
+    assert np.array_equal(np.asarray(got2.ravel()),
+                          np.asarray(got.ravel()))
