@@ -31,7 +31,9 @@ except ImportError:
 
 from ..ops.kmers import WORD_BASES, kmer_sorted_runs_packed
 
-_SENTINEL = jnp.uint32(0xFFFFFFFF)
+# NOTE: a module-level jnp scalar would initialize the jax backend
+# (and touch the TPU relay) at import time; a numpy scalar doesn't
+_SENTINEL = np.uint32(0xFFFFFFFF)
 
 
 def _local_table(words, ends, n_true, k: int, cap: int):

@@ -258,3 +258,15 @@ def test_sharded_pileup(mesh8):
         exp[ss] += 1
         exp[ee] -= 1
     np.testing.assert_array_equal(got, np.cumsum(exp[:-1]))
+
+
+def test_scaling_proxy(mesh8):
+    """Fixed-work sweep runs and reports the compute/collective split
+    (the scaling-efficiency proxy; real multi-chip is unreachable here)."""
+    from bionumpy_tpu.parallel.scaling import measure
+    records = measure(n_devices_list=(1, 4), n_bases=1 << 16,
+                      cap=1 << 10, iters=1)
+    assert [r["n_devices"] for r in records] == [1, 4]
+    for r in records:
+        assert r["t_with_collectives_s"] > 0
+        assert "collective_overhead_s" in r and "efficiency_proxy" in r
