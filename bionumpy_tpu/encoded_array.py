@@ -309,6 +309,14 @@ class EncodedArray:
             return self.__class__(np.atleast_1d(args[0].data), self.encoding)
         return NotImplemented
 
+    def as_strided(self, *args, **kwargs):
+        """Strided view over the raw codes, re-wrapped (reference method:
+        bionumpy/encoded_array.py:487-500 — use with care)."""
+        assert isinstance(self.data, np.ndarray)
+        return self.__class__(
+            np.lib.stride_tricks.as_strided(self.data, *args, **kwargs),
+            self.encoding)
+
 
 class EncodedRaggedArray(RaggedArray):
     """Ragged array of encoded symbols (reference:
