@@ -388,13 +388,18 @@ def main():
     from bionumpy_tpu.pipeline import count_kmers_fastq
 
     # --- timed end-to-end runs ----------------------------------------
+    # packed transport: 0.25 B/base over the volatile relay link beats
+    # the raw-byte device-parse trial here (device_parse="auto" would
+    # pay one 134 MB upload probing it inside every timed job)
     for _ in range(WARMUP_ITERS):
-        counts, stats = count_kmers_fastq(BENCH_FILE, K)
+        counts, stats = count_kmers_fastq(BENCH_FILE, K,
+                                          device_parse=False)
     times = []
     for _ in range(TIMED_ITERS):
         instrument.reset()
         t0 = time.perf_counter()
-        counts, stats = count_kmers_fastq(BENCH_FILE, K)
+        counts, stats = count_kmers_fastq(BENCH_FILE, K,
+                                          device_parse=False)
         # force a host-side consume (relay can return early otherwise)
         total = int(counts.counts.sum())
         times.append(time.perf_counter() - t0)

@@ -321,6 +321,17 @@ def kmer_sorted_runs_packed(words: jnp.ndarray, ends: jnp.ndarray, k: int,
     # sentinel pushes invalid slots past every real hash (hi < 2^30 for
     # k=31; for k <= 16 real hi is 0)
     sentinel = jnp.uint32(0xFFFFFFFF)
+    return sorted_runs_from_limbs(lo, hi, valid, cap)
+
+
+def sorted_runs_from_limbs(lo: jnp.ndarray, hi: jnp.ndarray,
+                           valid: jnp.ndarray, cap: int):
+    """Sort/compact core shared by the packed and the fused
+    parse-on-device paths: two-key sort with an invalid-slot sentinel,
+    run detection, stable position re-sort compaction."""
+    n_positions = lo.shape[0]
+    pos = jnp.arange(n_positions, dtype=jnp.int32)
+    sentinel = jnp.uint32(0xFFFFFFFF)
     hi_k = jnp.where(valid, hi, sentinel)
     lo_k = jnp.where(valid, lo, sentinel)
     hi_s, lo_s = jax.lax.sort((hi_k, lo_k), num_keys=2)

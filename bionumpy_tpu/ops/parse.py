@@ -104,6 +104,71 @@ def fastq_to_kmer_counts(raw: jnp.ndarray, encode_lut: jnp.ndarray,
     return counts, composition, n_entries, ok
 
 
+@partial(jax.jit, static_argnames=("max_lines", "k", "cap"))
+def fastq_to_sparse_kmer_table(raw: jnp.ndarray, encode_lut: jnp.ndarray,
+                               n_true: jnp.ndarray, max_lines: int,
+                               k: int, cap: int):
+    """Raw FASTQ bytes -> compacted sparse (hash, count) table, all on
+    device: scan + encode + rolling hash + sort/compact in ONE program.
+
+    The low-H2D alternative of the streamed pipeline (call stack fusion
+    goal: bionumpy/io/one_line_buffer.py:36-71 ->
+    bionumpy/sequence/kmers.py:106-128 as one program): ships raw bytes
+    (1 B/base incl. headers/quality) instead of packed words + row ends,
+    trading link bytes for zero host parse work — chosen automatically
+    by pipeline.count_kmers_fastq when the host parser, not the link, is
+    the bottleneck.
+
+    Returns (table (3, cap) uint32 [lo, hi, run_start],
+             meta (4,) int32 [n_unique, n_valid, n_entries, ok])."""
+    from .kmers import kmer_hash_limbs, sorted_runs_from_limbs
+
+    n = raw.shape[0]
+    line_starts, line_ends, n_lines, ok = fastq_scan(raw, n_true,
+                                                     max_lines)
+    ok = ok & (n_lines < max_lines) & (n_lines % 4 == 0)
+    n_entries = n_lines // 4
+    max_entries = max_lines // 4
+    entry_idx = jnp.arange(max_entries)
+    real_entry = entry_idx < n_entries
+    seq_starts = jnp.where(real_entry, line_starts[1::4], n)
+    seq_ends = jnp.where(real_entry, line_ends[1::4], n)
+
+    raw_codes = jnp.take(encode_lut, raw.astype(jnp.int32))
+    invalid_byte = raw_codes == 255
+    codes = jnp.where(invalid_byte, 0, raw_codes)
+    lo, hi = kmer_hash_limbs(
+        jnp.concatenate([codes, jnp.zeros(2 * 16, codes.dtype)]), k)
+    lo, hi = lo[:n], hi[:n]
+
+    marks = jnp.zeros(n + 1, jnp.int32)
+    marks = marks.at[seq_starts].add(1)
+    marks = marks.at[jnp.maximum(seq_ends - (k - 1), seq_starts)].add(-1)
+    valid = jnp.cumsum(marks[:-1]) > 0
+    # drop windows containing a non-ACGT byte inside a sequence span
+    base_marks = jnp.zeros(n + 1, jnp.int32)
+    base_marks = base_marks.at[seq_starts].add(1)
+    base_marks = base_marks.at[seq_ends].add(-1)
+    in_seq = jnp.cumsum(base_marks[:-1]) > 0
+    bad = invalid_byte & in_seq
+    bad_cum = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                               jnp.cumsum(bad.astype(jnp.int32))])
+    window_bad = (bad_cum[jnp.minimum(jnp.arange(n) + k, n)] -
+                  bad_cum[:n]) > 0
+    valid = valid & ~window_bad
+
+    uniq_lo, uniq_hi, run_starts, n_unique, n_valid = \
+        sorted_runs_from_limbs(lo, hi, valid, min(cap, n))
+    table = jnp.stack([uniq_lo, uniq_hi, run_starts.astype(jnp.uint32)])
+    n_bases_out = jnp.where(real_entry, seq_ends - seq_starts, 0).sum()
+    meta = jnp.stack([n_unique.astype(jnp.int32),
+                      n_valid.astype(jnp.int32),
+                      n_entries.astype(jnp.int32),
+                      ok.astype(jnp.int32),
+                      n_bases_out.astype(jnp.int32)])
+    return table, meta
+
+
 def parse_fastq_chunk_on_device(raw_bytes: np.ndarray, k: int = 5,
                                 min_bucket: int = 1 << 14):
     """Host wrapper: pad raw bytes into a bucket and run the device

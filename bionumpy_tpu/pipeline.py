@@ -22,6 +22,7 @@ bionumpy/streams/reductions.py:6-23).
 from __future__ import annotations
 
 import os
+import time
 from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator, Tuple
 
@@ -229,20 +230,40 @@ def _parse_batch(raw: bytes) -> Tuple[np.ndarray, np.ndarray, int, int]:
     return out.view(np.uint32), ends, n_bases, len(lengths)
 
 
+def _pad_raw_batch(raw: bytes):
+    """Device-parse transport: raw bytes zero-padded into a bucket."""
+    from .ops.device import bucket_size
+    with stage("pad", n_bytes=len(raw)):
+        bucket = bucket_size(max(len(raw), 1), 1 << 14)
+        padded = np.zeros(bucket, np.uint8)
+        padded[: len(raw)] = np.frombuffer(raw, np.uint8)
+    return padded, len(raw)
+
+
 def count_kmers_fastq(path: str, k: int = 31, cap: int = 1 << 20,
                       target_bases: int = TARGET_BUCKET - (1 << 21),
-                      device=None, n_threads: int = None):
+                      device=None, n_threads: int = None,
+                      device_parse="auto"):
     """Count all k-mers in a FASTQ file (optionally multi-member gzip),
     overlapping host inflate/parse with device counting.
+
+    `device_parse` selects the transport: False ships 2-bit-packed words
+    (0.25 B/base, host parses); True ships raw FASTQ bytes and runs the
+    fused scan+encode+hash+count program on device (zero host parse,
+    ~11x more link bytes and ~3x more device sort work per base —
+    ops/parse.fastq_to_sparse_kmer_table); "auto" tries each once and
+    keeps the faster.
 
     Returns a SparseEncodedCounts over the DNA k-mer encoding plus a
     stats dict {n_reads, n_bases, n_kmers}."""
     import jax
+    import jax.numpy as jnp
 
     from .encodings import DNAEncoding
     from .encodings.kmer_encodings import KmerEncoding
     from .ops.device import bucket_size
     from .ops.kmers import kmer_sparse_table_packed
+    from .ops.parse import fastq_to_sparse_kmer_table
     from .sequence.count_encoded import SparseEncodedCounts
 
     if device is None:
@@ -251,17 +272,24 @@ def count_kmers_fastq(path: str, k: int = 31, cap: int = 1 << 20,
         n_threads = min(8, os.cpu_count() or 1)
     pool = ThreadPoolExecutor(n_threads)
     worker = ThreadPoolExecutor(1)
+    lut_dev = jax.device_put(np.asarray(DNAEncoding.lookup_table), device)
 
     tables = []
     n_reads = n_bases = n_kmers = 0
 
     def start_fetch(dev_out):
-        """Block on the chunk's meta (2 ints, one round trip), then start
-        the async D2H of the bucketed table slice."""
+        """Block on the chunk's meta (one round trip), then start the
+        async D2H of the bucketed table slice."""
+        nonlocal n_reads, n_bases
         table, meta = dev_out
         with stage("D2H-meta"):
             m = np.asarray(meta)
         n_uni, n_val = int(m[0]), int(m[1])
+        if len(m) >= 5:  # device-parse meta carries entry/base counts
+            if not int(m[3]):
+                raise ValueError("malformed FASTQ batch (device scan)")
+            n_reads += int(m[2])
+            n_bases += int(m[4])
         assert n_uni <= cap, (
             f"batch had {n_uni} distinct kmers > cap {cap}; raise cap")
         # slice to a power-of-two bucket, not n_uni: a fresh slice length
@@ -287,40 +315,76 @@ def count_kmers_fastq(path: str, k: int = 31, cap: int = 1 << 20,
                        np.diff(starts, append=n_val)))
         n_kmers += n_val
 
-    def launch(parsed, pending_dev, pending_handle):
-        words, ends, nb, _ = parsed
-        with stage("H2D", n_bytes=words.nbytes + ends.nbytes):
-            words_d = jax.device_put(words, device)
-            ends_d = jax.device_put(ends, device)
-        with stage("dispatch"):
-            out = kmer_sparse_table_packed(words_d, ends_d, k, nb, cap)
+    def prep(mode, raw):
+        if mode == "packed":
+            return mode, _parse_batch(raw)
+        return mode, _pad_raw_batch(raw)
+
+    def launch(prepped, pending_dev, pending_handle):
+        nonlocal n_reads, n_bases
+        mode, payload = prepped
+        if mode == "packed":
+            words, ends, nb, nr = payload
+            with stage("H2D", n_bytes=words.nbytes + ends.nbytes):
+                words_d = jax.device_put(words, device)
+                ends_d = jax.device_put(ends, device)
+            with stage("dispatch"):
+                out = kmer_sparse_table_packed(words_d, ends_d, k, nb,
+                                               cap)
+            n_bases += nb
+            n_reads += nr
+        else:
+            padded, n_true = payload
+            with stage("H2D", n_bytes=padded.nbytes):
+                raw_d = jax.device_put(padded, device)
+            with stage("dispatch"):
+                out = fastq_to_sparse_kmer_table(
+                    raw_d, lut_dev, jnp.int32(n_true),
+                    padded.shape[0] // 16, k, cap)
         handle = start_fetch(pending_dev) if pending_dev is not None \
             else None
         if pending_handle is not None:
             resolve(pending_handle)
         return out, handle
 
+    # adaptive transport: try packed on batch 0, device-parse on batch 1,
+    # keep the faster (relay bandwidth and host throttling both drift)
+    modes = {"auto": None, True: "device", False: "packed",
+             "device": "device", "packed": "packed"}[device_parse]
+
+    def mode_for(i):
+        if modes is not None:
+            return modes
+        return "packed" if i != 1 else "device"
+
+    batch_times = {}
     try:
         batches = _prefetched(_batch_raw_bytes(path, target_bases, pool))
-        parse_fut = None
+        prep_fut = None
         pending_dev = None
         pending_handle = None
+        chosen = modes
+        i = 0
+        t_mark = time.perf_counter()
         for raw in batches:
-            if parse_fut is not None:
-                parsed = parse_fut.result()
-                parse_fut = worker.submit(_parse_batch, raw)
+            if prep_fut is not None:
+                prepped = prep_fut.result()
+                nxt = chosen or mode_for(i + 1)
+                prep_fut = worker.submit(prep, nxt, raw)
                 pending_dev, pending_handle = launch(
-                    parsed, pending_dev, pending_handle)
-                n_bases += parsed[2]
-                n_reads += parsed[3]
+                    prepped, pending_dev, pending_handle)
+                now = time.perf_counter()
+                batch_times[prepped[0]] = min(
+                    batch_times.get(prepped[0], 9e9), now - t_mark)
+                t_mark = now
+                i += 1
+                if chosen is None and i >= 2:
+                    chosen = min(batch_times, key=batch_times.get)
             else:
-                parse_fut = worker.submit(_parse_batch, raw)
-        if parse_fut is not None:
-            parsed = parse_fut.result()
+                prep_fut = worker.submit(prep, mode_for(i), raw)
+        if prep_fut is not None:
             pending_dev, pending_handle = launch(
-                parsed, pending_dev, pending_handle)
-            n_bases += parsed[2]
-            n_reads += parsed[3]
+                prep_fut.result(), pending_dev, pending_handle)
         if pending_handle is not None:
             resolve(pending_handle)
         if pending_dev is not None:

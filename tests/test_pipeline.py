@@ -93,3 +93,20 @@ def test_instrument_stages_recorded():
         assert name in rep, (name, rep)
     assert instrument.summary(total=1.0)
     instrument.reset()
+
+
+@pytest.mark.parametrize("mode", [True, "auto"])
+def test_device_parse_paths_match(tmp_path, mode):
+    """The fused parse-on-device transport and the adaptive chooser give
+    identical counts to the packed-host-parse path."""
+    member = open(BIG_FQ, "rb").read()
+    path = tmp_path / "multi.fq.gz"
+    path.write_bytes(member * 4)
+    expected, _ = count_kmers_fastq(str(path), 31, target_bases=150_000,
+                                    device_parse=False)
+    got, stats = count_kmers_fastq(str(path), 31, target_bases=150_000,
+                                   device_parse=mode)
+    assert np.array_equal(got.label_codes, expected.label_codes)
+    assert np.array_equal(got.counts, expected.counts)
+    assert stats["n_reads"] == 4000
+    assert stats["n_bases"] == 4 * 217598
