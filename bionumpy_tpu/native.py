@@ -14,8 +14,10 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 _LIB_PATH = os.path.join(os.path.dirname(__file__), "_host_kernels.so")
-_SRC_PATH = os.path.join(os.path.dirname(__file__), os.pardir, "csrc",
-                         "host_kernels.cpp")
+_CSRC = os.path.join(os.path.dirname(__file__), os.pardir, "csrc")
+_SRC_PATHS = [os.path.join(_CSRC, "host_kernels.cpp"),
+              os.path.join(_CSRC, "inflate.cpp")]
+_SRC_PATH = _SRC_PATHS[0]
 _lib = None
 _tried = False
 
@@ -25,12 +27,14 @@ def _load():
     if _tried:
         return _lib
     _tried = True
-    stale = (os.path.exists(_LIB_PATH) and os.path.exists(_SRC_PATH) and
-             os.path.getmtime(_SRC_PATH) > os.path.getmtime(_LIB_PATH))
-    if (not os.path.exists(_LIB_PATH) or stale) and os.path.exists(_SRC_PATH):
+    sources = [s for s in _SRC_PATHS if os.path.exists(s)]
+    stale = (os.path.exists(_LIB_PATH) and sources and
+             any(os.path.getmtime(s) > os.path.getmtime(_LIB_PATH)
+                 for s in sources))
+    if (not os.path.exists(_LIB_PATH) or stale) and sources:
         try:
             subprocess.run(["g++", "-O3", "-shared", "-fPIC", "-pthread",
-                            "-o", _LIB_PATH, _SRC_PATH], check=True,
+                            "-o", _LIB_PATH] + sources, check=True,
                            capture_output=True)
         except Exception as e:
             logger.info("could not build native kernels: %s", e)
@@ -63,6 +67,10 @@ def _load():
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
         ctypes.POINTER(ctypes.c_int32), ctypes.c_long,
         ctypes.c_int, ctypes.POINTER(ctypes.c_int64)]
+    lib.gzip_inflate_all.restype = ctypes.c_long
+    lib.gzip_inflate_all.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_long, ctypes.c_int]
     _lib = lib
     return _lib
 
@@ -267,6 +275,39 @@ def _fastq_parse_pack_py(raw: np.ndarray, out_bytes: int):
     n_bases = len(codes)
     out = pack_2bit_fill(codes, out_bytes)
     return out, s_lens.astype(np.int32), n_bases
+
+
+def gzip_inflate(data, verify: bool = True, size_hint: int = None):
+    """Inflate a whole (possibly multi-member) gzip byte string with the
+    native libdeflate-style decoder (csrc/inflate.cpp); ~3x zlib on this
+    host.  Returns bytes, or None when the native library is missing
+    (callers fall back to zlib).  Raises zlib-compatible errors on
+    malformed input so io/pgzip.py's boundary repair keeps working."""
+    import zlib
+    lib = _load()
+    if lib is None:
+        return None
+    if isinstance(data, np.ndarray):
+        data = data.tobytes()
+    n = len(data)
+    if n == 0:
+        return b""
+    cap = size_hint if size_hint else max(4 * n + 1024, 1 << 16)
+    while True:
+        out = np.empty(cap, dtype=np.uint8)
+        res = lib.gzip_inflate_all(
+            ctypes.cast(ctypes.c_char_p(data),
+                        ctypes.POINTER(ctypes.c_uint8)), n,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
+            1 if verify else 0)
+        if res >= 0:
+            return out[:res].tobytes()
+        if res == -2:
+            cap *= 2
+            continue
+        if res == -3:
+            raise zlib.error("native inflate: CRC/length mismatch")
+        raise zlib.error("native inflate: malformed gzip stream")
 
 
 def pack_2bit(codes: np.ndarray) -> np.ndarray:
