@@ -215,6 +215,18 @@ def config3():
                              np.arange(0, len(flat), 1000))
     assert np.array_equal(gc, gc_exp)
 
+    # sparse device-compacted minimizer counting (D2H ~ distinct values)
+    from bionumpy_tpu.sequence import count_minimizers
+    tbl = count_minimizers(seqs, k, w)  # compile
+    sparse_times = []
+    for _ in range(TIMED_ITERS):
+        t0 = time.perf_counter()
+        tbl = count_minimizers(seqs, k, w)
+        _ = int(tbl.counts.sum())
+        sparse_times.append(time.perf_counter() - t0)
+    t_sparse = min(sparse_times)
+    assert int(tbl.counts.sum()) == int(np.asarray(mins.lengths).sum())
+
     base_times = []
     for _ in range(3):
         t0 = time.perf_counter()
@@ -226,8 +238,10 @@ def config3():
         base_times.append((time.perf_counter() - t0) * 4)
     t_base = min(base_times)
     _emit(f"config3 minimizers(k=21,w=10)+GC track on sacCer3 "
-          f"({n_bases / 1e6:.1f} Mbases, one shared H2D, exact; numpy "
-          f"1-core {t_base:.1f}s)",
+          f"({n_bases / 1e6:.1f} Mbases, one shared H2D, exact; "
+          f"count_minimizers sparse "
+          f"{n_bases / t_sparse / 1e6:.0f} Mbases/s; numpy 1-core "
+          f"{t_base:.1f}s)",
           round(n_bases / t / 1e6, 2), "Mbases/s", round(t_base / t, 2))
 
 

@@ -47,6 +47,37 @@ def minimizer_pairs_packed(words: jnp.ndarray, k: int, n_kmers: int):
     return jnp.stack([lo, hi], axis=-1)
 
 
+@partial(jax.jit, static_argnames=("k", "n_kmers", "cap"))
+def minimizer_table_packed(words: jnp.ndarray, ends: jnp.ndarray,
+                           n_true, k: int, n_kmers: int, cap: int):
+    """Compacted (minimizer, count) table from packed words: windowed
+    min + the shared sort/compact core, so D2H scales with DISTINCT
+    minimizers (the materializing get_minimizers path is D2H-bound at
+    genome scale).  Counts are per minimizer WINDOW (each of the
+    n_valid windows contributes its minimum), matching
+    count_encoded(get_minimizers(...)).
+
+    Returns (table (3, cap) uint32 [lo, hi, run_start], meta (2,) int32
+    [n_unique, n_valid])."""
+    from .kmers import sorted_runs_from_limbs
+
+    lo, hi = minimizer_limbs_packed(words, k, n_kmers)
+    n_positions = lo.shape[0]
+    window_size = n_kmers + k - 1
+    marks = jnp.zeros(n_positions + 1, jnp.int32)
+    marks = marks.at[jnp.maximum(ends - (window_size - 1), 0)].add(1)
+    marks = marks.at[ends].add(-1)
+    invalid = jnp.cumsum(marks[:-1]) > 0
+    pos = jnp.arange(n_positions)
+    valid = ~invalid & (pos < jnp.minimum(ends[-1], n_true))
+    uniq_lo, uniq_hi, run_starts, n_unique, n_valid = \
+        sorted_runs_from_limbs(lo, hi, valid, min(cap, n_positions))
+    table = jnp.stack([uniq_lo, uniq_hi, run_starts.astype(jnp.uint32)])
+    meta = jnp.stack([n_unique.astype(jnp.int32),
+                      n_valid.astype(jnp.int32)])
+    return table, meta
+
+
 @partial(jax.jit, static_argnames=("k", "n_kmers"))
 def minimizer_limbs(codes_padded: jnp.ndarray, dist_padded: jnp.ndarray,
                     k: int, n_kmers: int):

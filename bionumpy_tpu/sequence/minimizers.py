@@ -58,6 +58,55 @@ def get_minimizers(sequence, k: int, window_size: int) -> EncodedRaggedArray:
     return result
 
 
+def count_minimizers(sequence, k: int, window_size: int,
+                     cap: int = 1 << 20):
+    """Count occurrences of each minimizer (one per window) — the sparse
+    device-compacted twin of count_encoded(get_minimizers(...)); D2H is
+    proportional to the DISTINCT minimizers, so genome-scale inputs
+    don't ship every window's value through the link.
+
+    Examples
+    --------
+    >>> import bionumpy_tpu as bnp
+    >>> seqs = bnp.as_encoded_array(["ACGTACGT"], bnp.DNAEncoding)
+    >>> c = bnp.sequence.count_minimizers(seqs, k=2, window_size=4)
+    >>> sorted(zip(c.alphabet, (int(x) for x in c.counts)))
+    [('AC', 2), ('TA', 3)]
+    """
+    import numpy as _np
+
+    from ..encodings.kmer_encodings import KmerEncoding
+    from ..ops.device import bucket_size
+    from ..ops.minimizers import minimizer_table_packed
+    from ..ops.resident import device_seqs
+    from .count_encoded import SparseEncodedCounts
+
+    sequence = as_encoded_array(sequence)
+    assert is_subclass_or_instance(sequence.encoding, AlphabetEncoding) \
+        and sequence.encoding.alphabet_size == 4, \
+        "device minimizer counting needs a 4-letter alphabet"
+    assert k <= window_size
+    if isinstance(sequence, EncodedArray):
+        sequence = EncodedRaggedArray(sequence, [len(sequence)])
+    ds = device_seqs(sequence)
+    while True:
+        table, meta = minimizer_table_packed(
+            ds.words, ds.ends, ds.n, k, window_size - k + 1,
+            min(cap, ds.n_positions))
+        m = _np.asarray(meta)
+        n_uni, n_val = int(m[0]), int(m[1])
+        if n_uni <= cap or cap >= ds.n_positions:
+            break
+        cap *= 2
+    n_fetch = min(bucket_size(max(n_uni, 1), 4096), int(table.shape[1]))
+    t = _np.asarray(table[:, :n_fetch])
+    hashes = (t[0, :n_uni].astype(_np.uint64) |
+              (t[1, :n_uni].astype(_np.uint64) << _np.uint64(32)))
+    counts = _np.diff(t[2, :n_uni].astype(_np.int64), append=n_val)
+    return SparseEncodedCounts(KmerEncoding(sequence.encoding, k),
+                               hashes, counts)
+
+
 def _device_minimizers(sequence: EncodedRaggedArray, k: int,
                        window_size: int) -> EncodedRaggedArray:
     from ..ops.device import bucket_size

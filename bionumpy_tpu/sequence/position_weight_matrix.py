@@ -154,7 +154,7 @@ def get_motif_matches(sequence, pwm: PWM, threshold: float,
     >>> m = get_motif_matches(
     ...     bnp.as_encoded_array(["TTACTT", "ACAC"], bnp.DNAEncoding),
     ...     pwm, threshold=1.0)
-    >>> [list(np.asarray(row)) for row in m]
+    >>> [[int(x) for x in np.asarray(row)] for row in m]
     [[2], [0, 2]]
     """
     import jax.numpy as jnp

@@ -123,3 +123,23 @@ def test_gc_track_matches_reduceat(genome_codes, bin_size):
     gc = (genome_codes == 1) | (genome_codes == 2)
     exp = np.add.reduceat(gc, np.arange(0, len(gc), bin_size))
     np.testing.assert_array_equal(got, exp)
+
+
+def test_count_minimizers_matches_materialized(genome_codes):
+    from bionumpy_tpu.sequence import count_minimizers
+    rng = np.random.default_rng(61)
+    lengths = rng.integers(25, 120, 300)
+    flat = genome_codes[: int(lengths.sum())]
+    seqs = bnp.EncodedRaggedArray(
+        bnp.EncodedArray(flat, bnp.DNAEncoding), lengths)
+    k, w = 21, 30
+    table = count_minimizers(seqs, k, w)
+    mins = bnp.get_minimizers(seqs, k, w)
+    exp_h, exp_c = np.unique(
+        np.asarray(mins.ravel().raw()).astype(np.uint64),
+        return_counts=True)
+    np.testing.assert_array_equal(table.label_codes, exp_h)
+    np.testing.assert_array_equal(table.counts, exp_c)
+    # tiny cap exercises the retry loop
+    table2 = count_minimizers(seqs, k, w, cap=8)
+    np.testing.assert_array_equal(table2.counts, exp_c)
