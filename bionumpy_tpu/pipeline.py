@@ -303,6 +303,8 @@ def count_kmers_fastq(path: str, k: int = 31, cap: int = 1 << 20,
             pass
         return sl, n_uni, n_val
 
+    merge_chain = [None]  # future of the running (hash, count) fold
+
     def resolve(handle):
         nonlocal n_kmers
         sl, n_uni, n_val = handle
@@ -311,9 +313,19 @@ def count_kmers_fastq(path: str, k: int = 31, cap: int = 1 << 20,
         lo = t[0, :n_uni].astype(np.uint64)
         hi = t[1, :n_uni].astype(np.uint64)
         starts = t[2, :n_uni].astype(np.int64)
-        tables.append((lo | (hi << np.uint64(32)),
-                       np.diff(starts, append=n_val)))
+        table = (lo | (hi << np.uint64(32)),
+                 np.diff(starts, append=n_val))
         n_kmers += n_val
+        # fold on the pool so host merging overlaps device compute
+        prev = merge_chain[0]
+
+        def fold():
+            if prev is None:
+                return table
+            with stage("merge-bg"):
+                return merge_sorted_tables(*prev.result(), *table)
+
+        merge_chain[0] = pool.submit(fold)
 
     def prep(mode, raw):
         if mode == "packed":
@@ -390,32 +402,59 @@ def count_kmers_fastq(path: str, k: int = 31, cap: int = 1 << 20,
         if pending_dev is not None:
             resolve(start_fetch(pending_dev))
     finally:
-        pool.shutdown(wait=False)
         worker.shutdown(wait=False)
 
     with stage("merge"):
-        hashes, counts = _merge_tables(tables)
+        if merge_chain[0] is not None:
+            hashes, counts = merge_chain[0].result()
+        else:
+            hashes, counts = _merge_tables(tables)
+        hashes = np.asarray(hashes, np.uint64)
+        counts = np.asarray(counts, np.int64)
+    pool.shutdown(wait=False)
     stats = {"n_reads": n_reads, "n_bases": n_bases, "n_kmers": n_kmers}
     return SparseEncodedCounts(KmerEncoding(DNAEncoding, k), hashes,
                                counts), stats
 
 
+def merge_sorted_tables(h1, c1, h2, c2):
+    """Merge two SORTED (hash, count) tables, summing equal keys — O(n)
+    numpy passes (an argsort of the concatenation costs ~3x more; this
+    is the associative fold of the reference's stream reductions,
+    bionumpy/streams/reductions.py:6-23)."""
+    if len(h1) == 0:
+        return h2, c2
+    if len(h2) == 0:
+        return h1, c1
+    pos2 = np.searchsorted(h1, h2, side="right") + \
+        np.arange(len(h2), dtype=np.int64)
+    n = len(h1) + len(h2)
+    out_h = np.empty(n, h1.dtype)
+    out_c = np.empty(n, np.int64)
+    mask1 = np.ones(n, bool)
+    mask1[pos2] = False
+    out_h[pos2] = h2
+    out_c[pos2] = c2
+    out_h[mask1] = h1
+    out_c[mask1] = c1
+    keep = np.empty(n, bool)
+    keep[0] = True
+    np.not_equal(out_h[1:], out_h[:-1], out=keep[1:])
+    idx = np.flatnonzero(keep)
+    return out_h[idx], np.add.reduceat(out_c, idx)
+
+
 def _merge_tables(tables):
-    """Merge per-batch sorted (hash, count) tables into one sorted table
-    — the associative fold of the reference's stream reductions
-    (reference: bionumpy/streams/reductions.py:6-23)."""
+    """Tree-merge per-batch sorted (hash, count) tables."""
     if not tables:
         return np.empty(0, np.uint64), np.empty(0, np.int64)
-    hashes = np.concatenate([t[0] for t in tables])
-    counts = np.concatenate([t[1] for t in tables])
-    order = np.argsort(hashes, kind="stable")
-    hashes = hashes[order]
-    counts = counts[order]
-    if len(hashes) == 0:
-        return hashes, counts
-    is_new = np.empty(len(hashes), bool)
-    is_new[0] = True
-    np.not_equal(hashes[1:], hashes[:-1], out=is_new[1:])
-    idx = np.flatnonzero(is_new)
-    summed = np.add.reduceat(counts, idx)
-    return hashes[idx], summed
+    level = list(tables)
+    while len(level) > 1:
+        nxt = []
+        for i in range(0, len(level) - 1, 2):
+            nxt.append(merge_sorted_tables(*level[i], *level[i + 1]))
+        if len(level) % 2:
+            nxt.append(level[-1])
+        level = nxt
+    h, c = level[0]
+    return np.asarray(h, np.uint64), np.asarray(c, np.int64)

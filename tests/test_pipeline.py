@@ -110,3 +110,45 @@ def test_device_parse_paths_match(tmp_path, mode):
     assert np.array_equal(got.counts, expected.counts)
     assert stats["n_reads"] == 4000
     assert stats["n_bases"] == 4 * 217598
+
+
+def test_diverse_bench_input_machinery(tmp_path):
+    """bench.py's mutated-variant generator: deterministic, valid ACGT,
+    and the pipeline's counts equal the independent numpy whole job."""
+    import gzip as _gz
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import bench
+
+    member = open(BIG_FQ, "rb").read()
+    raw = np.frombuffer(_gz.decompress(member), np.uint8)
+    nl = np.flatnonzero(raw == 10)
+    starts = np.insert(nl[:-1] + 1, 0, 0)
+    s_starts = starts[1::4]
+    s_lens = (nl[1::4] - s_starts).astype(np.int64)
+    seq_idx = np.repeat(
+        s_starts - np.insert(np.cumsum(s_lens)[:-1], 0, 0),
+        s_lens) + np.arange(int(s_lens.sum()), dtype=np.int64)
+
+    v1 = bench._mutate_member(raw, seq_idx, 3)
+    v1b = bench._mutate_member(raw, seq_idx, 3)
+    v2 = bench._mutate_member(raw, seq_idx, 4)
+    assert v1 == v1b and v1 != v2  # deterministic per variant
+    arr = np.frombuffer(v1, np.uint8)
+    assert np.isin(arr[seq_idx], np.frombuffer(b"ACGT", np.uint8)).all()
+    frac = (arr[seq_idx] != raw[seq_idx]).mean()
+    assert 0.005 < frac < 0.012  # ~1% minus same-base collisions
+
+    # small multi-variant file: pipeline == numpy whole job
+    members = [_gz.compress(bench._mutate_member(raw, seq_idx, v),
+                            compresslevel=1, mtime=0) for v in range(3)]
+    path = tmp_path / "div.fq.gz"
+    path.write_bytes(b"".join(m * 2 for m in members))
+    counts, stats = count_kmers_fastq(str(path), 31,
+                                      target_bases=300_000,
+                                      device_parse=False)
+    exp_h, exp_c = bench.numpy_whole_job(
+        [m for m in members for _ in range(2)], 31)
+    assert np.array_equal(counts.label_codes, exp_h)
+    assert np.array_equal(counts.counts, exp_c)
+    assert stats["n_reads"] == 6000
