@@ -461,6 +461,22 @@ def main():
     from bionumpy_tpu import instrument
     from bionumpy_tpu.pipeline import count_kmers_fastq
 
+    # --- single-core numpy baseline: the SAME whole job, full size -----
+    # measured FIRST (this host throttles under sustained load, so the
+    # later slot would penalize whoever runs there) and min-of-2.
+    # Scaling from a member subset would understate the super-linear
+    # final merge; the per-chunk left fold the reference's
+    # @streamable(sum) implies is slower still on this input.
+    exp = np.load(DIVERSE_EXPECTED)
+    raw_members = _diverse_members()
+    t_base = 9e9
+    for _ in range(2):
+        t0 = time.perf_counter()
+        base_h, base_c = numpy_whole_job(raw_members, K)
+        t_base = min(t_base, time.perf_counter() - t0)
+    assert np.array_equal(base_h, exp["hashes"])
+    assert np.array_equal(base_c, exp["counts"])
+
     cap = 1 << 21  # ~1M distinct kmers per device batch on this input
     # --- timed end-to-end runs ----------------------------------------
     # packed transport: 0.25 B/base over the volatile relay link beats
@@ -470,14 +486,15 @@ def main():
         counts, stats = count_kmers_fastq(DIVERSE_FILE, K, cap=cap,
                                           device_parse=False)
     times = []
-    for _ in range(TIMED_ITERS):
-        instrument.reset()
-        t0 = time.perf_counter()
-        counts, stats = count_kmers_fastq(DIVERSE_FILE, K, cap=cap,
-                                          device_parse=False)
-        # force a host-side consume (relay can return early otherwise)
-        total = int(counts.counts.sum())
-        times.append(time.perf_counter() - t0)
+    with instrument.jax_profile(os.environ.get("BNP_TPU_TRACE")):
+        for _ in range(TIMED_ITERS):
+            instrument.reset()
+            t0 = time.perf_counter()
+            counts, stats = count_kmers_fastq(DIVERSE_FILE, K, cap=cap,
+                                              device_parse=False)
+            # force a host-side consume (relay can return early)
+            total = int(counts.counts.sum())
+            times.append(time.perf_counter() - t0)
     t_job = min(times)
     split = instrument.summary(total=times[-1])
 
@@ -487,7 +504,6 @@ def main():
     read_rate = stats["n_reads"] / t_job
 
     # --- exactness: independent single-core numpy recompute ------------
-    exp = np.load(DIVERSE_EXPECTED)
     exact = (np.array_equal(counts.label_codes, exp["hashes"]) and
              np.array_equal(counts.counts, exp["counts"]))
     if not exact:
@@ -495,16 +511,6 @@ def main():
                           "unit": "bool", "vs_baseline": 0}))
         sys.exit(1)
 
-    # --- single-core numpy baseline: the SAME whole job, full size -----
-    # (scaling from a member subset would understate the super-linear
-    # final merge; the per-chunk left fold the reference's
-    # @streamable(sum) implies is slower still on this input)
-    raw_members = _diverse_members()
-    t0 = time.perf_counter()
-    base_h, base_c = numpy_whole_job(raw_members, K)
-    t_base = time.perf_counter() - t0
-    assert np.array_equal(base_h, exp["hashes"])
-    assert np.array_equal(base_c, exp["counts"])
 
     print(json.dumps({
         "metric": "end-to-end 31-mer counting, gzip FASTQ file-in to "
