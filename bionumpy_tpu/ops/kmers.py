@@ -350,6 +350,41 @@ def sorted_runs_from_limbs(lo: jnp.ndarray, hi: jnp.ndarray,
     return uniq_lo, uniq_hi, run_starts, n_unique, n_valid
 
 
+def counts_from_runs(run_starts: jnp.ndarray, n_unique, n_valid,
+                     cap: int):
+    """Per-run counts from compacted run-start positions (device twin of
+    np.diff(starts, append=n_valid)); zero beyond n_unique."""
+    iota = jnp.arange(cap, dtype=jnp.int32)
+    nxt = jnp.concatenate([run_starts[1:],
+                           jnp.zeros(1, run_starts.dtype)])
+    return jnp.where(
+        iota < n_unique - 1, nxt - run_starts,
+        jnp.where(iota == n_unique - 1,
+                  n_valid.astype(run_starts.dtype) - run_starts,
+                  0)).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("k", "cap"))
+def kmer_sentinel_table_packed(words: jnp.ndarray, ends: jnp.ndarray,
+                               k: int, n_true, cap: int):
+    """Per-chunk DEVICE-RESIDENT sparse count table: (lo, hi, count)
+    rows sentinel-padded to cap, plus (2,) int32 meta.  Unused slots
+    carry (0xFFFFFFFF, 0xFFFFFFFF, 0) so tables from several chunks (or
+    shards) concatenate and merge on device with merge_hash_tables —
+    nothing per-chunk crosses the link."""
+    uniq_lo, uniq_hi, run_starts, n_unique, n_valid = \
+        kmer_sorted_runs_packed(words, ends, k, n_true, cap)
+    cap = run_starts.shape[0]
+    cnt = counts_from_runs(run_starts, n_unique, n_valid, cap)
+    valid = jnp.arange(cap, dtype=jnp.int32) < n_unique
+    sentinel = jnp.uint32(0xFFFFFFFF)
+    lo_t = jnp.where(valid, uniq_lo, sentinel)
+    hi_t = jnp.where(valid, uniq_hi, sentinel)
+    meta = jnp.stack([n_unique.astype(jnp.int32),
+                      n_valid.astype(jnp.int32)])
+    return lo_t, hi_t, cnt, meta
+
+
 @partial(jax.jit, static_argnames=("k", "cap"))
 def kmer_sparse_table_packed(words: jnp.ndarray, ends: jnp.ndarray, k: int,
                              n_true, cap: int):

@@ -159,7 +159,14 @@ def fastq_to_sparse_kmer_table(raw: jnp.ndarray, encode_lut: jnp.ndarray,
 
     uniq_lo, uniq_hi, run_starts, n_unique, n_valid = \
         sorted_runs_from_limbs(lo, hi, valid, min(cap, n))
-    table = jnp.stack([uniq_lo, uniq_hi, run_starts.astype(jnp.uint32)])
+    from .kmers import counts_from_runs
+    cnt = counts_from_runs(run_starts, n_unique, n_valid,
+                           run_starts.shape[0])
+    slot_ok = jnp.arange(run_starts.shape[0], dtype=jnp.int32) < n_unique
+    sentinel = jnp.uint32(0xFFFFFFFF)
+    table = jnp.stack([jnp.where(slot_ok, uniq_lo, sentinel),
+                       jnp.where(slot_ok, uniq_hi, sentinel),
+                       cnt.astype(jnp.uint32)])
     n_bases_out = jnp.where(real_entry, seq_ends - seq_starts, 0).sum()
     meta = jnp.stack([n_unique.astype(jnp.int32),
                       n_valid.astype(jnp.int32),

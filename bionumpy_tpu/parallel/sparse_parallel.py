@@ -38,19 +38,15 @@ _SENTINEL = np.uint32(0xFFFFFFFF)
 
 def _local_table(words, ends, n_true, k: int, cap: int):
     """Per-shard (lo, hi, count) table, sentinel-padded to cap rows."""
+    from ..ops.kmers import counts_from_runs
     lo, hi, run_starts, n_unique, n_valid = kmer_sorted_runs_packed(
         words, ends, k, n_true, cap)
-    iota = jnp.arange(cap, dtype=jnp.int32)
-    nxt = jnp.concatenate([run_starts[1:],
-                           jnp.zeros(1, run_starts.dtype)])
-    cnt = jnp.where(
-        iota < n_unique - 1, nxt - run_starts,
-        jnp.where(iota == n_unique - 1,
-                  n_valid.astype(run_starts.dtype) - run_starts, 0))
-    valid = iota < n_unique
+    cnt = counts_from_runs(run_starts, n_unique, n_valid,
+                           run_starts.shape[0])
+    valid = jnp.arange(run_starts.shape[0], dtype=jnp.int32) < n_unique
     lo_t = jnp.where(valid, lo, _SENTINEL)
     hi_t = jnp.where(valid, hi, _SENTINEL)
-    return lo_t, hi_t, cnt.astype(jnp.int32)
+    return lo_t, hi_t, cnt
 
 
 def merge_hash_tables(lo: jnp.ndarray, hi: jnp.ndarray, cnt: jnp.ndarray,

@@ -8,7 +8,8 @@ and rules/kmer_counting.smk:8-16 time gzip+parse+count as ONE job):
   parse+pack   fused native FASTQ scan+encode+2-bit pack (csrc)
   H2D          packed uint32 words (0.25 B/base) + row ends
   count        device two-key sort + run compaction (ops/kmers.py)
-  D2H+merge    compacted (hash, count) tables, host sorted-merge
+  merge        per-batch tables stay in HBM; ONE device merge at the end
+  D2H          the final compacted (hash, count) table only
 
 A host worker thread prepares batch i+1 while the device counts batch i,
 so wall time approaches max(host stage, device stage) instead of the
@@ -262,9 +263,13 @@ def count_kmers_fastq(path: str, k: int = 31, cap: int = 1 << 20,
     from .encodings import DNAEncoding
     from .encodings.kmer_encodings import KmerEncoding
     from .ops.device import bucket_size
-    from .ops.kmers import kmer_sparse_table_packed
+    from .ops.kmers import kmer_sentinel_table_packed
     from .ops.parse import fastq_to_sparse_kmer_table
     from .sequence.count_encoded import SparseEncodedCounts
+
+    from functools import partial as _partial
+
+    from .parallel.sparse_parallel import merge_hash_tables
 
     if device is None:
         device = jax.devices()[0]
@@ -274,65 +279,30 @@ def count_kmers_fastq(path: str, k: int = 31, cap: int = 1 << 20,
     worker = ThreadPoolExecutor(1)
     lut_dev = jax.device_put(np.asarray(DNAEncoding.lookup_table), device)
 
-    tables = []
+    # per-batch tables stay DEVICE-RESIDENT (sentinel-padded cap rows);
+    # one device merge at the end replaces per-batch D2H + host folds
+    dev_tables = []
+    dev_metas = []
     n_reads = n_bases = n_kmers = 0
+    FOLD_EVERY = 16  # bound HBM for long streams
 
-    def start_fetch(dev_out):
-        """Block on the chunk's meta (one round trip), then start the
-        async D2H of the bucketed table slice."""
-        nonlocal n_reads, n_bases
-        table, meta = dev_out
-        with stage("D2H-meta"):
-            m = np.asarray(meta)
-        n_uni, n_val = int(m[0]), int(m[1])
-        if len(m) >= 5:  # device-parse meta carries entry/base counts
-            if not int(m[3]):
-                raise ValueError("malformed FASTQ batch (device scan)")
-            n_reads += int(m[2])
-            n_bases += int(m[4])
-        assert n_uni <= cap, (
-            f"batch had {n_uni} distinct kmers > cap {cap}; raise cap")
-        # slice to a power-of-two bucket, not n_uni: a fresh slice length
-        # would compile a fresh device program per batch
-        n_fetch = min(bucket_size(max(n_uni, 1), 4096),
-                      int(table.shape[1]))
-        sl = table[:, :n_fetch]
-        try:
-            sl.copy_to_host_async()
-        except AttributeError:
-            pass
-        return sl, n_uni, n_val
+    @_partial(jax.jit, static_argnames=("cap_out",))
+    def _merged_stack(lo, hi, cnt, cap_out):
+        m_lo, m_hi, m_cnt, n_u = merge_hash_tables(lo, hi, cnt, cap_out)
+        return jnp.stack([m_lo, m_hi, m_cnt.astype(jnp.uint32)]), n_u
 
-    merge_chain = [None]  # future of the running (hash, count) fold
-
-    def resolve(handle):
-        nonlocal n_kmers
-        sl, n_uni, n_val = handle
-        with stage("D2H-table"):
-            t = np.asarray(sl)
-        lo = t[0, :n_uni].astype(np.uint64)
-        hi = t[1, :n_uni].astype(np.uint64)
-        starts = t[2, :n_uni].astype(np.int64)
-        table = (lo | (hi << np.uint64(32)),
-                 np.diff(starts, append=n_val))
-        n_kmers += n_val
-        # fold on the pool so host merging overlaps device compute
-        prev = merge_chain[0]
-
-        def fold():
-            if prev is None:
-                return table
-            with stage("merge-bg"):
-                return merge_sorted_tables(*prev.result(), *table)
-
-        merge_chain[0] = pool.submit(fold)
+    def _fold_device_tables(tables_list):
+        lo = jnp.concatenate([t[0] for t in tables_list])
+        hi = jnp.concatenate([t[1] for t in tables_list])
+        cnt = jnp.concatenate([t[2] for t in tables_list])
+        return _merged_stack(lo, hi, cnt, int(lo.shape[0]))
 
     def prep(mode, raw):
         if mode == "packed":
             return mode, _parse_batch(raw)
         return mode, _pad_raw_batch(raw)
 
-    def launch(prepped, pending_dev, pending_handle):
+    def launch(prepped):
         nonlocal n_reads, n_bases
         mode, payload = prepped
         if mode == "packed":
@@ -341,8 +311,8 @@ def count_kmers_fastq(path: str, k: int = 31, cap: int = 1 << 20,
                 words_d = jax.device_put(words, device)
                 ends_d = jax.device_put(ends, device)
             with stage("dispatch"):
-                out = kmer_sparse_table_packed(words_d, ends_d, k, nb,
-                                               cap)
+                lo_t, hi_t, cnt, meta = kmer_sentinel_table_packed(
+                    words_d, ends_d, k, nb, cap)
             n_bases += nb
             n_reads += nr
         else:
@@ -350,14 +320,18 @@ def count_kmers_fastq(path: str, k: int = 31, cap: int = 1 << 20,
             with stage("H2D", n_bytes=padded.nbytes):
                 raw_d = jax.device_put(padded, device)
             with stage("dispatch"):
-                out = fastq_to_sparse_kmer_table(
+                table, meta = fastq_to_sparse_kmer_table(
                     raw_d, lut_dev, jnp.int32(n_true),
                     padded.shape[0] // 16, k, cap)
-        handle = start_fetch(pending_dev) if pending_dev is not None \
-            else None
-        if pending_handle is not None:
-            resolve(pending_handle)
-        return out, handle
+                lo_t, hi_t = table[0], table[1]
+                cnt = table[2].astype(jnp.int32)
+        dev_tables.append((lo_t, hi_t, cnt))
+        dev_metas.append(meta)
+        if len(dev_tables) >= FOLD_EVERY:
+            with stage("device-fold"):
+                stacked, _n_u = _fold_device_tables(dev_tables)
+                dev_tables[:] = [(stacked[0], stacked[1],
+                                  stacked[2].astype(jnp.int32))]
 
     # adaptive transport: try packed on batch 0, device-parse on batch 1,
     # keep the faster (relay bandwidth and host throttling both drift)
@@ -373,8 +347,6 @@ def count_kmers_fastq(path: str, k: int = 31, cap: int = 1 << 20,
     try:
         batches = _prefetched(_batch_raw_bytes(path, target_bases, pool))
         prep_fut = None
-        pending_dev = None
-        pending_handle = None
         chosen = modes
         i = 0
         t_mark = time.perf_counter()
@@ -383,8 +355,7 @@ def count_kmers_fastq(path: str, k: int = 31, cap: int = 1 << 20,
                 prepped = prep_fut.result()
                 nxt = chosen or mode_for(i + 1)
                 prep_fut = worker.submit(prep, nxt, raw)
-                pending_dev, pending_handle = launch(
-                    prepped, pending_dev, pending_handle)
+                launch(prepped)
                 now = time.perf_counter()
                 batch_times[prepped[0]] = min(
                     batch_times.get(prepped[0], 9e9), now - t_mark)
@@ -395,23 +366,42 @@ def count_kmers_fastq(path: str, k: int = 31, cap: int = 1 << 20,
             else:
                 prep_fut = worker.submit(prep, mode_for(i), raw)
         if prep_fut is not None:
-            pending_dev, pending_handle = launch(
-                prep_fut.result(), pending_dev, pending_handle)
-        if pending_handle is not None:
-            resolve(pending_handle)
-        if pending_dev is not None:
-            resolve(start_fetch(pending_dev))
+            launch(prep_fut.result())
     finally:
         worker.shutdown(wait=False)
+        pool.shutdown(wait=False)
 
-    with stage("merge"):
-        if merge_chain[0] is not None:
-            hashes, counts = merge_chain[0].result()
-        else:
-            hashes, counts = _merge_tables(tables)
-        hashes = np.asarray(hashes, np.uint64)
-        counts = np.asarray(counts, np.int64)
-    pool.shutdown(wait=False)
+    if not dev_tables:
+        stats = {"n_reads": 0, "n_bases": 0, "n_kmers": 0}
+        return SparseEncodedCounts(
+            KmerEncoding(DNAEncoding, k), np.empty(0, np.uint64),
+            np.empty(0, np.int64)), stats
+
+    with stage("device-merge"):
+        stacked, n_uniq = _fold_device_tables(dev_tables)
+    with stage("D2H-meta"):
+        for m_dev in dev_metas:
+            m = np.asarray(m_dev)
+            if len(m) >= 5:  # device-parse meta: entry/base counts
+                if not int(m[3]):
+                    raise ValueError(
+                        "malformed FASTQ batch (device scan)")
+                n_reads += int(m[2])
+                n_bases += int(m[4])
+            assert int(m[0]) <= cap, (
+                f"batch had {int(m[0])} distinct kmers > cap {cap}; "
+                f"raise cap")
+            n_kmers += int(m[1])
+        nu = int(np.asarray(n_uniq))
+    with stage("D2H-table"):
+        # slice to a power-of-two bucket, not nu: a fresh slice length
+        # would compile a fresh device program per run
+        n_fetch = min(bucket_size(max(nu, 1), 4096),
+                      int(stacked.shape[1]))
+        t = np.asarray(stacked[:, :n_fetch])
+    hashes = (t[0, :nu].astype(np.uint64) |
+              (t[1, :nu].astype(np.uint64) << np.uint64(32)))
+    counts = t[2, :nu].astype(np.int64)
     stats = {"n_reads": n_reads, "n_bases": n_bases, "n_kmers": n_kmers}
     return SparseEncodedCounts(KmerEncoding(DNAEncoding, k), hashes,
                                counts), stats

@@ -88,8 +88,8 @@ def test_instrument_stages_recorded():
     instrument.reset()
     count_kmers_fastq(BIG_FQ, 31)
     rep = instrument.report()
-    for name in ("read", "parse+pack", "H2D", "dispatch", "D2H-meta",
-                 "D2H-table", "merge"):
+    for name in ("read", "parse+pack", "H2D", "dispatch",
+                 "device-merge", "D2H-meta", "D2H-table"):
         assert name in rep, (name, rep)
     assert instrument.summary(total=1.0)
     instrument.reset()
@@ -152,3 +152,17 @@ def test_diverse_bench_input_machinery(tmp_path):
     assert np.array_equal(counts.label_codes, exp_h)
     assert np.array_equal(counts.counts, exp_c)
     assert stats["n_reads"] == 6000
+
+
+def test_many_batches_device_fold(tmp_path):
+    """>FOLD_EVERY batches exercises the intermediate device fold that
+    bounds HBM for long streams."""
+    member = open(BIG_FQ, "rb").read()
+    path = tmp_path / "many.fq.gz"
+    path.write_bytes(member * 5)
+    counts, stats = count_kmers_fastq(str(path), 31, target_bases=50_000,
+                                      device_parse=False)
+    expected = _expected_counts(BIG_FQ, 31)
+    assert np.array_equal(counts.label_codes, expected.label_codes)
+    assert np.array_equal(counts.counts, expected.counts * 5)
+    assert stats["n_reads"] == 5000
