@@ -1,228 +1,291 @@
-"""Pull-based lazy computation graph over chunk streams
-(reference: bionumpy/computation_graph.py).
+"""Lazy streamed-expression graph with a push-based single-pass executor.
 
-The runtime model: a ComputationNode evaluates one chunk at a time in
-lock-step over all its inputs (`_get_buffer(i)`), so an arbitrary DAG of
-per-chunk expressions plus associative reductions runs in a single pass
-over the file.  On TPU the per-chunk function is typically a jit-compiled
-kernel and the reduction state an on-device accumulator; across hosts the
-same associative fold merges with psum (bionumpy_tpu/parallel/).
+Replaces the reference's pull-based node protocol (each node recursively
+asking its inputs for buffer *i*, reference: bionumpy/
+computation_graph.py:48-217) with a TPU-first split between
+
+  * **expression nodes** — immutable descriptions of per-chunk work
+    (`StreamNode` wraps a chunk source, `ComputationNode` a function of
+    other nodes, `ReductionNode` an associative fold), built implicitly
+    through the numpy protocols, and
+  * **one executor** (`_SinglePass`) that drives every source in
+    lock-step, evaluates each node at most once per chunk (memoised per
+    round, so shared sub-expressions are not recomputed), updates fold
+    accumulators in place, and concatenates map outputs — all roots of a
+    `compute({...})` call share a single pass over the file.
+
+The fold algebra is the associative/commutative combiner set the whole
+framework shares (sum, padded-bincount add, histogram add, (sum, n) for
+mean — see parallel/reductions.py for the psum twins).  Accumulators
+keep whatever residency their chunk values have: when the per-chunk map
+runs on device (e.g. ops.tracks.get_pileup_device partials), `a + b`
+is a jax op and the fold state never leaves HBM; host RLE chunks fold
+in numpy.  Nothing in the executor assumes numpy.
 """
 from __future__ import annotations
 
-import operator
-from abc import ABC, abstractmethod
-from functools import reduce
-from itertools import count
-from traceback import extract_stack, format_list
+import traceback
+from typing import Any, Callable, Dict, List
 
 import numpy as np
 
 
 class ComputationException(Exception):
-    pass
+    """Raised when evaluating a graph node fails; carries the build-site
+    stack so streamed errors point at user code, not the executor."""
 
 
-def _add_histograms(a, b):
-    assert np.all(a[1] == b[1])
-    return (a[0] + b[0], a[1])
+def _origin(skip: int = 3, depth: int = 5) -> str:
+    """Short build-site traceback for error attribution."""
+    frames = traceback.extract_stack()[:-skip]
+    return "".join(traceback.format_list(frames[-depth:]))
 
 
-def mean_reduction(a, b):
-    return (a[0] + b[0], a[1] + b[1])
+class Reduction:
+    """An associative fold: combine(state, state) with an optional
+    finalize.  Instances are shared, stateless descriptions."""
+
+    def __init__(self, combine: Callable, finalize: Callable = None,
+                 prepare: Callable = None):
+        self.combine = combine
+        self.finalize = finalize
+        self.prepare = prepare  # per-chunk pre-map applied before fold
 
 
-def sum_and_n(array, axis=None):
-    if array.size == 0:
+def _histogram_combine(a, b):
+    if not np.array_equal(np.asarray(a[1]), np.asarray(b[1])):
+        raise ComputationException(
+            "histogram chunks disagree on bin edges")
+    return a[0] + b[0], a[1]
+
+
+def _sum_with_count(array, axis=None):
+    """Per-chunk (sum, n) pair for streamed means.  axis=0 over a ragged
+    chunk counts, per column, the rows long enough to reach it."""
+    if getattr(array, "size", None) == 0:
         return 0, 0
     s = np.sum(array, axis=axis)
-    assert axis in (None, 0, -2), axis
     if axis is None:
-        n = array.size
-    else:
-        if hasattr(array, "lengths"):
-            lengths = np.asarray(array.lengths)
-            counts = np.bincount(lengths)
-            n = np.cumsum(counts[::-1])[::-1][1:]
-        else:
-            n = len(array)
-    return (s, n)
+        return s, array.size
+    if axis not in (0, -2):
+        raise ComputationException(f"streamed mean: unsupported {axis=}")
+    lengths = getattr(array, "lengths", None)
+    if lengths is None:
+        return s, len(array)
+    lengths = np.asarray(lengths)
+    width = int(lengths.max()) if len(lengths) else 0
+    return s, (lengths[:, None] > np.arange(width)).sum(axis=0)
 
 
-reductions_map = {
-    np.sum: operator.add,
-    np.histogram: _add_histograms,
-}
+SUM = Reduction(lambda a, b: a + b)
+HISTOGRAM = Reduction(_histogram_combine)
+MEAN = Reduction(lambda a, b: (a[0] + b[0], a[1] + b[1]),
+                 finalize=lambda sn: sn[0] / sn[1],
+                 prepare=_sum_with_count)
+
+# numpy entry points that become streamed folds when applied to a node
+_FOLDS = {np.sum: SUM, np.histogram: HISTOGRAM}
+
+# kept importable: other modules historically used these names
+sum_and_n = _sum_with_count
+mean_reduction = MEAN.combine
 
 
-class Node(np.lib.mixins.NDArrayOperatorsMixin, ABC):
-    @abstractmethod
-    def _get_buffer(self, i: int):
-        raise NotImplementedError
+class Node(np.lib.mixins.NDArrayOperatorsMixin):
+    """Base of the expression graph.  Arithmetic/ufuncs/most numpy
+    functions map per chunk; np.sum/np.histogram/np.mean(axis None|0)
+    become streamed folds."""
 
     def __array_ufunc__(self, ufunc, method, *args, **kwargs):
-        assert method == "__call__"
-        stack_trace = "".join(format_list(extract_stack(limit=5)))
-        return ComputationNode(ufunc, args, kwargs, stack_trace=stack_trace)
+        if method != "__call__":
+            return NotImplemented
+        return ComputationNode(ufunc, args, kwargs)
 
     def __array_function__(self, func, types, args, kwargs):
-        stack_trace = "".join(format_list(extract_stack(limit=10))[:-2])
         if func is np.mean and kwargs.get("axis") in (None, 0):
-            comp_node = ComputationNode(sum_and_n, args, kwargs,
-                                        stack_trace=stack_trace)
-            return ReductionNode(comp_node, mean_reduction,
-                                 lambda sn: sn[0] / sn[1])
-        comp_node = ComputationNode(func, args, kwargs,
-                                    stack_trace=stack_trace)
-        if func in reductions_map:
-            return ReductionNode(comp_node, reductions_map[func])
-        return comp_node
+            return ReductionNode(
+                ComputationNode(MEAN.prepare, args, kwargs), MEAN)
+        mapped = ComputationNode(func, args, kwargs)
+        fold = _FOLDS.get(func)
+        return ReductionNode(mapped, fold) if fold else mapped
 
-    def compute(self):
-        raise NotImplementedError
-
-    def get_iter(self):
-        for i in count():
-            try:
-                yield self._get_buffer(i)
-            except StopIteration:
-                break
-
-    def __str__(self):
-        return (f"{self.__class__.__name__} with current buffer: "
-                f"{getattr(self, '_current_buffer', None)}")
-
-
-class StreamNode(Node):
-    def __init__(self, stream):
-        self._stream = iter(stream)
-        self._current_buffer = None
-        self._buffer_index = -1
-        self._get_buffer(0)
-
-    def _get_buffer(self, i: int):
-        assert self._buffer_index in (i, i - 1), (i, self._buffer_index)
-        if i > self._buffer_index:
-            self._current_buffer = next(self._stream)
-            self._buffer_index += 1
-        return self._current_buffer
-
-    def compute(self):
-        return np.concatenate(list(self.get_iter()))
-
-
-class ComputationNode(Node):
-    def __init__(self, func, args, kwargs=None, stack_trace=None):
-        self._func = func
-        self._args = args
-        self._kwargs = kwargs if kwargs is not None else {}
-        self._stack_trace = stack_trace or "".join(
-            format_list(extract_stack(limit=5))[:-2])
-        self._buffer_index = -1
-        self._get_buffer(0)
-
-    def __getitem__(self, item):
-        return ComputationNode(lambda obj, it: obj[it], (self, item))
-
-    def max(self, axis=None, **kwargs):
-        assert axis == -1, axis
-        return np.max(self, axis=-1, **kwargs)
-
-    def mean(self, axis=None):
-        if axis in (-1, 1, 0, None):
-            return np.mean(self, axis=axis)
-        raise ValueError("invalid axis for mean", axis)
-
+    # convenience methods mirroring the array API
     def sum(self, *args, **kwargs):
         return np.sum(self, *args, **kwargs)
 
-    def _get_buffer(self, i: int):
-        assert self._buffer_index in (i, i - 1), (i, self._buffer_index)
-        if i <= self._buffer_index:
-            return self._current_buffer
-        args = [a._get_buffer(i) if isinstance(a, Node) else a
-                for a in self._args]
-        kwargs = {key: (v._get_buffer(i) if isinstance(v, Node) else v)
-                  for key, v in self._kwargs.items()}
-        try:
-            self._current_buffer = self._func(*args, **kwargs)
-        except StopIteration:
-            raise
-        except ComputationException:
-            raise
-        except Exception as e:
-            raise ComputationException(
-                f"Error in computation of:\n {self._stack_trace}") from e
-        self._buffer_index += 1
-        return self._current_buffer
+    def mean(self, axis=None):
+        if axis not in (None, 0, 1, -1):
+            raise ValueError(f"invalid axis for streamed mean: {axis}")
+        return np.mean(self, axis=axis)
+
+    def max(self, axis=None, **kwargs):
+        if axis != -1:
+            raise ValueError("streamed max supports only axis=-1")
+        return np.max(self, axis=-1, **kwargs)
+
+    def __getitem__(self, item):
+        return ComputationNode(lambda chunk, it: chunk[it], (self, item))
 
     def compute(self):
-        return np.concatenate(list(self.get_iter()))
+        """Evaluate this node alone (one pass over its sources)."""
+        return _SinglePass([self]).run()[0]
+
+    def get_iter(self):
+        """Yield this node's per-chunk values (one streaming pass) —
+        used by consumers that fold chunk-wise themselves (e.g. the
+        per-chromosome genomic track assembly)."""
+        return _SinglePass([self]).iter_chunks(self)
+
+    def __repr__(self):
+        return f"<streamed {type(self).__name__}>"
+
+
+class StreamNode(Node):
+    """Graph source: a stream/iterator of per-chunk values."""
+
+    def __init__(self, stream):
+        self._iterator = iter(stream)
+
+    def _next_chunk(self):
+        return next(self._iterator)
+
+
+class ComputationNode(Node):
+    """A function applied chunk-wise to other nodes and constants."""
+
+    def __init__(self, func, args, kwargs=None, stack_trace=None):
+        self._func = func
+        self._args = tuple(args)
+        self._kwargs = dict(kwargs) if kwargs else {}
+        self._where = stack_trace if stack_trace is not None else _origin()
+
+    def _apply(self, args, kwargs):
+        try:
+            return self._func(*args, **kwargs)
+        except (StopIteration, ComputationException):
+            raise
+        except Exception as err:
+            raise ComputationException(
+                f"streamed evaluation of {self._func} failed; built "
+                f"at:\n{self._where}") from err
 
 
 class ReductionNode(Node):
-    def __init__(self, stream, binary_func, post_process=None):
-        self._stream = stream
-        self._binary_func = binary_func
-        self._post_process = post_process
+    """A fold of an upstream node's chunks with an associative
+    combiner (the psum-able algebra; SURVEY §5.8)."""
 
-    def _get_buffer(self, i: int):
-        raise NotImplementedError
+    def __init__(self, upstream: Node, reduction, post_process=None):
+        self._upstream = upstream
+        if not isinstance(reduction, Reduction):
+            # legacy calling convention: a raw binary function
+            reduction = Reduction(reduction, finalize=post_process)
+        elif post_process is not None:
+            reduction = Reduction(reduction.combine, finalize=post_process,
+                                  prepare=reduction.prepare)
+        self._reduction = reduction
 
-    def compute(self):
-        result = reduce(self._binary_func, self._stream.get_iter())
-        if self._post_process is not None:
-            result = self._post_process(result)
+
+class _SinglePass:
+    """Executor: advances every source once per round, evaluates the
+    memoised DAG, updates fold states, collects map outputs."""
+
+    _EMPTY = object()
+
+    def __init__(self, roots: List[Node]):
+        self._roots = list(roots)
+        self._sources: List[StreamNode] = []
+        seen = set()
+        stack = [r for r in self._roots if isinstance(r, Node)]
+        while stack:
+            node = stack.pop()
+            if id(node) in seen:
+                continue
+            seen.add(id(node))
+            if isinstance(node, StreamNode):
+                self._sources.append(node)
+            elif isinstance(node, ReductionNode):
+                stack.append(node._upstream)
+            elif isinstance(node, ComputationNode):
+                stack.extend(a for a in node._args if isinstance(a, Node))
+                stack.extend(v for v in node._kwargs.values()
+                             if isinstance(v, Node))
+
+    def _evaluate(self, node: Node, memo: Dict[int, Any]):
+        key = id(node)
+        if key in memo:
+            return memo[key]
+        if isinstance(node, ReductionNode):
+            raise ComputationException(
+                "a streamed reduction cannot feed per-chunk math; "
+                "compute() it first")
+        args = [self._evaluate(a, memo) if isinstance(a, Node) else a
+                for a in node._args]
+        kwargs = {k: self._evaluate(v, memo) if isinstance(v, Node) else v
+                  for k, v in node._kwargs.items()}
+        memo[key] = result = node._apply(args, kwargs)
         return result
 
-    @classmethod
-    def join(cls, reduction_nodes):
-        node = ComputationNode(lambda *args: tuple(args),
-                               [n._stream for n in reduction_nodes])
-        binary_func = lambda t1, t2: tuple(  # noqa: E731
-            n._binary_func(e1, e2)
-            for n, e1, e2 in zip(reduction_nodes, t1, t2))
-        post_process = lambda t: [  # noqa: E731
-            e if n._post_process is None else n._post_process(e)
-            for e, n in zip(t, reduction_nodes)]
-        return cls(node, binary_func, post_process)
+    def iter_chunks(self, root: Node):
+        """Generator over `root`'s per-chunk values."""
+        if isinstance(root, ReductionNode):
+            raise ComputationException(
+                "a streamed reduction has no per-chunk values")
+        while True:
+            memo: Dict[int, Any] = {}
+            try:
+                for src in self._sources:
+                    memo[id(src)] = src._next_chunk()
+            except StopIteration:
+                return
+            yield self._evaluate(root, memo)
 
-    def __str__(self):
-        return f"{self._binary_func} reduction of: {self._stream}"
-
-
-class JoinNode(ComputationNode):
-    def compute(self):
-        buffer_list = None
-        for buffer_tuple in self.get_iter():
-            if buffer_list is None:
-                buffer_list = [list() for _ in buffer_tuple]
-            for column, buf in zip(buffer_list, buffer_tuple):
-                column.append(buf)
-        return [np.concatenate(column) for column in buffer_list]
-
-
-def _compute(*args):
-    if not any(isinstance(a, Node) for a in args):
-        return args
-    if all(isinstance(a, ReductionNode) for a in args):
-        return ReductionNode.join(args).compute()
-    assert not any(isinstance(a, ReductionNode) for a in args)
-    node_idxs = [i for i, a in enumerate(args) if isinstance(a, Node)]
-    results = JoinNode(lambda *a: tuple(a),
-                       [args[i] for i in node_idxs]).compute()
-    args = list(args)
-    for i, idx in enumerate(node_idxs):
-        args[idx] = results[i]
-    return args
+    def run(self) -> List[Any]:
+        states = [self._EMPTY] * len(self._roots)  # fold accumulators
+        chunks: List[List[Any]] = [[] for _ in self._roots]
+        while True:
+            memo: Dict[int, Any] = {}
+            try:
+                for src in self._sources:
+                    memo[id(src)] = src._next_chunk()
+            except StopIteration:
+                break
+            for i, root in enumerate(self._roots):
+                if isinstance(root, ReductionNode):
+                    value = self._evaluate(root._upstream, memo)
+                    if states[i] is self._EMPTY:
+                        states[i] = value
+                    else:
+                        states[i] = root._reduction.combine(states[i],
+                                                            value)
+                elif isinstance(root, Node):
+                    chunks[i].append(self._evaluate(root, memo))
+        out = []
+        for i, root in enumerate(self._roots):
+            if isinstance(root, ReductionNode):
+                state = states[i]
+                if state is self._EMPTY:
+                    raise ComputationException(
+                        "streamed reduction over an empty stream")
+                fin = root._reduction.finalize
+                out.append(fin(state) if fin else state)
+            elif isinstance(root, Node):
+                if not chunks[i]:
+                    raise ComputationException(
+                        "streamed expression over an empty stream")
+                out.append(np.concatenate(chunks[i]))
+            else:
+                out.append(root)
+        return out
 
 
 def compute(args):
-    """Evaluate one or several graph nodes in a single pass."""
+    """Evaluate one node, or several together in a SINGLE pass over the
+    underlying file(s): accepts a Node, a list/tuple, or a dict of
+    nodes (non-node values pass through untouched)."""
     if isinstance(args, dict):
-        return dict(zip(args.keys(), _compute(*args.values())))
+        return dict(zip(args, _SinglePass(list(args.values())).run()))
     if isinstance(args, (list, tuple)):
-        return _compute(*args)
+        return type(args)(_SinglePass(list(args)).run())
     if isinstance(args, Node):
         return args.compute()
     return args

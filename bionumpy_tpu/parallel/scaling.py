@@ -38,8 +38,8 @@ def _sharded_local_only(mesh, k: int, cap: int):
              in_specs=(P("dp", None), P("dp", None), P("dp")),
              out_specs=(P("dp", None), P("dp", None), P("dp", None)))
     def step(words_b, ends_b, n_true_b):
-        lo, hi, cnt = _local_table(words_b[0], ends_b[0], n_true_b[0],
-                                   k, cap)
+        lo, hi, cnt, _meta = _local_table(words_b[0], ends_b[0],
+                                          n_true_b[0], k, cap)
         return lo[None], hi[None], cnt[None]
 
     return jax.jit(step)

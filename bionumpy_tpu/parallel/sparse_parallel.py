@@ -37,7 +37,8 @@ _SENTINEL = np.uint32(0xFFFFFFFF)
 
 
 def _local_table(words, ends, n_true, k: int, cap: int):
-    """Per-shard (lo, hi, count) table, sentinel-padded to cap rows."""
+    """Per-shard (lo, hi, count, meta) table, sentinel-padded to cap
+    rows; meta is (2,) int32 [n_unique, n_valid]."""
     from ..ops.kmers import counts_from_runs
     lo, hi, run_starts, n_unique, n_valid = kmer_sorted_runs_packed(
         words, ends, k, n_true, cap)
@@ -46,7 +47,9 @@ def _local_table(words, ends, n_true, k: int, cap: int):
     valid = jnp.arange(run_starts.shape[0], dtype=jnp.int32) < n_unique
     lo_t = jnp.where(valid, lo, _SENTINEL)
     hi_t = jnp.where(valid, hi, _SENTINEL)
-    return lo_t, hi_t, cnt
+    meta = jnp.stack([n_unique.astype(jnp.int32),
+                      n_valid.astype(jnp.int32)])
+    return lo_t, hi_t, cnt, meta
 
 
 def merge_hash_tables(lo: jnp.ndarray, hi: jnp.ndarray, cnt: jnp.ndarray,
@@ -101,14 +104,60 @@ def sharded_sparse_count_step(mesh: Mesh, k: int, cap: int,
              in_specs=(P("dp", None), P("dp", None), P("dp")),
              out_specs=(P(), P(), P(), P()), **check_kw)
     def step(words_b, ends_b, n_true_b):
-        lo_t, hi_t, cnt = _local_table(words_b[0], ends_b[0],
-                                       n_true_b[0], k, cap)
+        lo_t, hi_t, cnt, _meta = _local_table(words_b[0], ends_b[0],
+                                              n_true_b[0], k, cap)
         lo_g = jax.lax.all_gather(lo_t, "dp").reshape(-1)
         hi_g = jax.lax.all_gather(hi_t, "dp").reshape(-1)
         cnt_g = jax.lax.all_gather(cnt, "dp").reshape(-1)
         return merge_hash_tables(lo_g, hi_g, cnt_g, cap_out)
 
     return jax.jit(step)
+
+
+_FOLD_STEP_CACHE = {}
+
+
+def sharded_sparse_count_fold_step(mesh: Mesh, k: int, cap: int,
+                                   acc_cap: int):
+    """Jitted multi-chip ACCUMULATING step for the flagship streamed
+    pipeline (pipeline.count_kmers_fastq(mesh=...)): per-shard packed
+    batch in, per-shard table counted locally, tables all_gathered over
+    ICI and merged WITH the replicated acc_cap-row accumulator — one
+    pinned-shape program per batch, zero per-batch D2H except the tiny
+    per-shard meta matrix.
+
+    step(acc, words, ends, n_true) -> (new_acc (3, acc_cap) uint32,
+    metas (n_dev, 2) int32 [n_unique, n_valid] per shard).
+    """
+    key = (mesh, k, cap, acc_cap)
+    if key in _FOLD_STEP_CACHE:
+        return _FOLD_STEP_CACHE[key]
+
+    import inspect
+    params = inspect.signature(shard_map).parameters
+    check_kw = {"check_vma": False} if "check_vma" in params else \
+        {"check_rep": False}
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(), P("dp", None), P("dp", None), P("dp")),
+             out_specs=(P(), P()), **check_kw)
+    def step(acc, words_b, ends_b, n_true_b):
+        lo_t, hi_t, cnt, meta = _local_table(words_b[0], ends_b[0],
+                                             n_true_b[0], k, cap)
+        lo_g = jax.lax.all_gather(lo_t, "dp").reshape(-1)
+        hi_g = jax.lax.all_gather(hi_t, "dp").reshape(-1)
+        cnt_g = jax.lax.all_gather(cnt, "dp").reshape(-1)
+        metas = jax.lax.all_gather(meta, "dp")
+        lo = jnp.concatenate([acc[0], lo_g])
+        hi = jnp.concatenate([acc[1], hi_g])
+        c = jnp.concatenate([acc[2].astype(jnp.int32), cnt_g])
+        m_lo, m_hi, m_cnt, _n_u = merge_hash_tables(lo, hi, c, acc_cap)
+        return (jnp.stack([m_lo, m_hi, m_cnt.astype(jnp.uint32)]),
+                metas)
+
+    jitted = jax.jit(step, donate_argnums=(0,))
+    _FOLD_STEP_CACHE[key] = jitted
+    return jitted
 
 
 def shard_packed_reads(flat_codes: np.ndarray, lengths: np.ndarray,

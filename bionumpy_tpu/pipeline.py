@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import os
 import time
+from collections import deque
 from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator, Tuple
 
@@ -35,6 +36,20 @@ from .instrument import stage
 # positions per device batch; 2^25 keeps the two device sorts in the
 # high-throughput regime (measured 220 M/s two-key at 2^25 on v5e)
 TARGET_BUCKET = 1 << 25
+
+# batch tables merged into the device accumulator per fold program.
+# The fold shape is PINNED: always acc_cap + ACC_FOLD*cap rows (partial
+# folds are padded with cached sentinel tables), so one compiled program
+# serves every fold of every run — a data-dependent shape here costs a
+# multi-second relay compile per occurrence (VERDICT r2 item 1).
+ACC_FOLD = 8
+FOLD_EVERY = ACC_FOLD  # compat alias
+
+# host-side spill threshold: merge_hash_tables accumulates counts via an
+# int32 cumsum, so the accumulator must never hold >= 2^31 total k-mers;
+# beyond this the acc is fetched and folded into a host int64 table
+# (tests shrink this to exercise the path)
+_SPILL_LIMIT = (1 << 31) - 1
 
 
 _PART_BYTES = 8 << 20  # part size for non-member sources
@@ -211,6 +226,10 @@ def _parse_batch(raw: bytes) -> Tuple[np.ndarray, np.ndarray, int, int]:
     """(bucketed packed words uint32, ends int32, n_bases, n_reads)."""
     from .ops.device import bucket_size
     from .ops.kmers import WORD_BASES
+    if not raw:  # empty shard (mesh path with more devices than data)
+        n_bytes = (1 << 14) // 4 + 2 * (WORD_BASES // 4)
+        return (np.zeros(n_bytes, np.uint8).view(np.uint32),
+                np.zeros(4096, np.int32), 0, 0)
     with stage("parse+pack", n_bytes=len(raw)):
         arr = np.frombuffer(raw, np.uint8)
         packed, lengths, n_bases = native.fastq_parse_pack(
@@ -241,10 +260,75 @@ def _pad_raw_batch(raw: bytes):
     return padded, len(raw)
 
 
+def _fold_program_impl(acc, tables, acc_cap):
+    """Merge ACC_FOLD batch tables into the accumulator stack: ONE
+    pinned-shape program (acc_cap + ACC_FOLD*cap rows) reused for every
+    fold.  acc is (3, acc_cap) uint32 [lo, hi, count]; tables is a tuple
+    of ACC_FOLD (lo, hi, cnt) triples."""
+    import jax.numpy as jnp
+
+    from .parallel.sparse_parallel import merge_hash_tables
+    lo = jnp.concatenate([acc[0]] + [t[0] for t in tables])
+    hi = jnp.concatenate([acc[1]] + [t[1] for t in tables])
+    cnt = jnp.concatenate([acc[2].astype(jnp.int32)]
+                          + [t[2] for t in tables])
+    m_lo, m_hi, m_cnt, n_u = merge_hash_tables(lo, hi, cnt, acc_cap)
+    return jnp.stack([m_lo, m_hi, m_cnt.astype(jnp.uint32)]), n_u
+
+
+_fold_program = None
+_make_acc = None
+_make_sentinel = None
+_sentinel_cache = {}
+
+
+def _device_merge_fns():
+    """Module-level jitted fold/init programs (created lazily so plain
+    imports never touch the TPU relay, cached so every call to
+    count_kmers_fastq reuses the SAME traced functions — a per-call
+    closure jit would reload executables through the relay each run)."""
+    global _fold_program, _make_acc, _make_sentinel
+    if _fold_program is None:
+        import jax
+        from functools import partial as _p
+        _fold_program = _p(jax.jit, static_argnames=("acc_cap",),
+                           donate_argnums=(0,))(_fold_program_impl)
+        import jax.numpy as jnp
+
+        @_p(jax.jit, static_argnames=("acc_cap",))
+        def make_acc(acc_cap):
+            full = jnp.full((2, acc_cap), jnp.uint32(0xFFFFFFFF))
+            return jnp.concatenate(
+                [full, jnp.zeros((1, acc_cap), jnp.uint32)])
+
+        @_p(jax.jit, static_argnames=("cap",))
+        def make_sentinel(cap):
+            s = jnp.full(cap, jnp.uint32(0xFFFFFFFF))
+            return s, s, jnp.zeros(cap, jnp.int32)
+
+        _make_acc = make_acc
+        _make_sentinel = make_sentinel
+    return _fold_program, _make_acc, _make_sentinel
+
+
+def _sentinel_table(cap: int, device):
+    """Cached on-device all-sentinel (lo, hi, cnt) table used to pad
+    partial folds to the pinned ACC_FOLD arity (created on device — no
+    H2D transfer, no per-run dispatch)."""
+    import jax
+    key = (cap, device)
+    if key not in _sentinel_cache:
+        _, _, make_sentinel = _device_merge_fns()
+        with jax.default_device(device):
+            _sentinel_cache[key] = make_sentinel(cap)
+    return _sentinel_cache[key]
+
+
 def count_kmers_fastq(path: str, k: int = 31, cap: int = 1 << 20,
                       target_bases: int = TARGET_BUCKET - (1 << 21),
                       device=None, n_threads: int = None,
-                      device_parse="auto"):
+                      device_parse="auto", acc_cap: int = None,
+                      mesh=None):
     """Count all k-mers in a FASTQ file (optionally multi-member gzip),
     overlapping host inflate/parse with device counting.
 
@@ -254,6 +338,16 @@ def count_kmers_fastq(path: str, k: int = 31, cap: int = 1 << 20,
     ~11x more link bytes and ~3x more device sort work per base —
     ops/parse.fastq_to_sparse_kmer_table); "auto" tries each once and
     keeps the faster.
+
+    `acc_cap` bounds the distinct k-mers held in the device accumulator
+    (default max(4*cap, 2^22)); batches whose own distinct count
+    overflows `cap` are recounted at a doubled cap automatically.
+
+    `mesh=` runs the per-batch counting data-parallel over a
+    jax.sharding.Mesh (axis 'dp'): each batch is split on read
+    boundaries across the mesh, counted per shard, and the shard tables
+    are all_gather-merged inside one jitted step
+    (parallel/sparse_parallel.sharded_sparse_count_step).
 
     Returns a SparseEncodedCounts over the DNA k-mer encoding plus a
     stats dict {n_reads, n_bases, n_kmers}."""
@@ -267,71 +361,134 @@ def count_kmers_fastq(path: str, k: int = 31, cap: int = 1 << 20,
     from .ops.parse import fastq_to_sparse_kmer_table
     from .sequence.count_encoded import SparseEncodedCounts
 
-    from functools import partial as _partial
-
-    from .parallel.sparse_parallel import merge_hash_tables
-
+    if mesh is not None:
+        return _count_kmers_fastq_mesh(path, k, cap, target_bases,
+                                       mesh, n_threads, acc_cap)
     if device is None:
         device = jax.devices()[0]
     if n_threads is None:
         n_threads = min(8, os.cpu_count() or 1)
+    if acc_cap is None:
+        acc_cap = max(4 * cap, 1 << 22)
     pool = ThreadPoolExecutor(n_threads)
     worker = ThreadPoolExecutor(1)
     lut_dev = jax.device_put(np.asarray(DNAEncoding.lookup_table), device)
+    fold_program, make_acc, _ = _device_merge_fns()
 
-    # per-batch tables stay DEVICE-RESIDENT (sentinel-padded cap rows);
-    # one device merge at the end replaces per-batch D2H + host folds
-    dev_tables = []
-    dev_metas = []
+    # per-batch tables stay DEVICE-RESIDENT (sentinel-padded cap rows)
+    # and merge into a fixed acc_cap-row accumulator every ACC_FOLD
+    # batches — every fold runs the SAME compiled program, and nothing
+    # per-chunk crosses the link except the tiny meta vector
+    with jax.default_device(device):
+        acc = make_acc(acc_cap)
+    pending = []       # resolved (lo, hi, cnt) triples awaiting a fold
+    inflight = deque()  # (meta_dev, table_triple, retry_payload, mode)
+    spilled = (np.empty(0, np.uint64), np.empty(0, np.int64))
     n_reads = n_bases = n_kmers = 0
-    FOLD_EVERY = 16  # bound HBM for long streams
+    kmers_in_acc = 0
 
-    @_partial(jax.jit, static_argnames=("cap_out",))
-    def _merged_stack(lo, hi, cnt, cap_out):
-        m_lo, m_hi, m_cnt, n_u = merge_hash_tables(lo, hi, cnt, cap_out)
-        return jnp.stack([m_lo, m_hi, m_cnt.astype(jnp.uint32)]), n_u
+    def count_packed(words, ends, nb, batch_cap):
+        with stage("H2D", n_bytes=words.nbytes + ends.nbytes):
+            words_d = jax.device_put(words, device)
+            ends_d = jax.device_put(ends, device)
+        with stage("dispatch"):
+            lo_t, hi_t, cnt, meta = kmer_sentinel_table_packed(
+                words_d, ends_d, k, nb, batch_cap)
+        return (lo_t, hi_t, cnt), meta
 
-    def _fold_device_tables(tables_list):
-        lo = jnp.concatenate([t[0] for t in tables_list])
-        hi = jnp.concatenate([t[1] for t in tables_list])
-        cnt = jnp.concatenate([t[2] for t in tables_list])
-        return _merged_stack(lo, hi, cnt, int(lo.shape[0]))
+    def count_device_parse(padded, n_true, batch_cap):
+        with stage("H2D", n_bytes=padded.nbytes):
+            raw_d = jax.device_put(padded, device)
+        with stage("dispatch"):
+            table, meta = fastq_to_sparse_kmer_table(
+                raw_d, lut_dev, jnp.int32(n_true),
+                padded.shape[0] // 16, k, batch_cap)
+        return (table[0], table[1], table[2].astype(jnp.int32)), meta
 
-    def prep(mode, raw):
-        if mode == "packed":
-            return mode, _parse_batch(raw)
-        return mode, _pad_raw_batch(raw)
+    def fold_pending(force=False):
+        """Fold exactly ACC_FOLD pending tables into the accumulator
+        (padding with cached sentinel tables when force=True)."""
+        nonlocal acc
+        while len(pending) >= ACC_FOLD or (force and pending):
+            batch, rest = pending[:ACC_FOLD], pending[ACC_FOLD:]
+            while len(batch) < ACC_FOLD:
+                batch.append(_sentinel_table(cap, device))
+            with stage("device-fold"):
+                acc, _n_u = fold_program(acc, tuple(batch), acc_cap)
+            pending[:] = rest
+            if not force:
+                break
+
+    def spill_acc():
+        """Fetch the accumulator and fold it into the host int64 table
+        (guards the int32 count cumsum in merge_hash_tables)."""
+        nonlocal acc, spilled, kmers_in_acc
+        fold_pending(force=True)
+        h, c = _fetch_acc(acc, acc_cap, bucket_size)
+        spilled = merge_sorted_tables(*spilled, h, c)
+        with jax.default_device(device):
+            acc = make_acc(acc_cap)
+        kmers_in_acc = 0
+
+    def resolve_one():
+        """Check the oldest in-flight batch's meta (one batch of lag so
+        the device keeps working); retry overflowed batches at a doubled
+        cap, splitting the wider table into cap-row slices so folds keep
+        their pinned shape."""
+        nonlocal n_reads, n_bases, n_kmers, kmers_in_acc
+        meta_dev, table, payload, mode = inflight.popleft()
+        with stage("D2H-meta"):
+            m = np.asarray(meta_dev)
+        if len(m) >= 5:  # device-parse meta: entry/base counts
+            if not int(m[3]):
+                raise ValueError("malformed FASTQ batch (device scan)")
+            n_reads += int(m[2])
+            n_bases += int(m[4])
+        batch_cap = cap
+        while int(m[0]) > batch_cap:  # distinct kmers overflowed cap
+            batch_cap *= 2
+            with stage("recount"):
+                if mode == "packed":
+                    words, ends, nb = payload
+                    table, meta_dev = count_packed(words, ends, nb,
+                                                   batch_cap)
+                else:
+                    padded, n_true = payload
+                    table, meta_dev = count_device_parse(padded, n_true,
+                                                         batch_cap)
+                m2 = np.asarray(meta_dev)
+            m = np.concatenate([m2[:2], m[2:]]) if len(m) >= 5 else m2
+        n_kmers += int(m[1])
+        if kmers_in_acc + int(m[1]) > _SPILL_LIMIT:
+            spill_acc()
+        kmers_in_acc += int(m[1])
+        if batch_cap == cap:
+            pending.append(table)
+        else:  # split the doubled-cap table into pinned cap-row slices
+            for s in range(0, batch_cap, cap):
+                pending.append(tuple(t[s: s + cap] for t in table))
+        fold_pending()
 
     def launch(prepped):
         nonlocal n_reads, n_bases
         mode, payload = prepped
         if mode == "packed":
             words, ends, nb, nr = payload
-            with stage("H2D", n_bytes=words.nbytes + ends.nbytes):
-                words_d = jax.device_put(words, device)
-                ends_d = jax.device_put(ends, device)
-            with stage("dispatch"):
-                lo_t, hi_t, cnt, meta = kmer_sentinel_table_packed(
-                    words_d, ends_d, k, nb, cap)
+            table, meta = count_packed(words, ends, nb, cap)
             n_bases += nb
             n_reads += nr
+            inflight.append((meta, table, (words, ends, nb), mode))
         else:
             padded, n_true = payload
-            with stage("H2D", n_bytes=padded.nbytes):
-                raw_d = jax.device_put(padded, device)
-            with stage("dispatch"):
-                table, meta = fastq_to_sparse_kmer_table(
-                    raw_d, lut_dev, jnp.int32(n_true),
-                    padded.shape[0] // 16, k, cap)
-                lo_t, hi_t = table[0], table[1]
-                cnt = table[2].astype(jnp.int32)
-        dev_tables.append((lo_t, hi_t, cnt))
-        dev_metas.append(meta)
-        if len(dev_tables) >= FOLD_EVERY:
-            with stage("device-fold"):
-                stacked, _n_u = _fold_device_tables(dev_tables)
-                dev_tables[:] = [(stacked[0], stacked[1],
-                                  stacked[2].astype(jnp.int32))]
+            table, meta = count_device_parse(padded, n_true, cap)
+            inflight.append((meta, table, (padded, n_true), mode))
+        if len(inflight) > 1:
+            resolve_one()
+
+    def prep(mode, raw):
+        if mode == "packed":
+            return mode, _parse_batch(raw)
+        return mode, _pad_raw_batch(raw)
 
     # adaptive transport: try packed on batch 0, device-parse on batch 1,
     # keep the faster (relay bandwidth and host throttling both drift)
@@ -367,41 +524,158 @@ def count_kmers_fastq(path: str, k: int = 31, cap: int = 1 << 20,
                 prep_fut = worker.submit(prep, mode_for(i), raw)
         if prep_fut is not None:
             launch(prep_fut.result())
+        while inflight:
+            resolve_one()
     finally:
         worker.shutdown(wait=False)
         pool.shutdown(wait=False)
 
-    if not dev_tables:
-        stats = {"n_reads": 0, "n_bases": 0, "n_kmers": 0}
+    if not (pending or n_kmers or len(spilled[0])):
+        stats = {"n_reads": n_reads, "n_bases": n_bases, "n_kmers": 0}
         return SparseEncodedCounts(
             KmerEncoding(DNAEncoding, k), np.empty(0, np.uint64),
             np.empty(0, np.int64)), stats
 
     with stage("device-merge"):
-        stacked, n_uniq = _fold_device_tables(dev_tables)
-    with stage("D2H-meta"):
-        for m_dev in dev_metas:
-            m = np.asarray(m_dev)
-            if len(m) >= 5:  # device-parse meta: entry/base counts
-                if not int(m[3]):
-                    raise ValueError(
-                        "malformed FASTQ batch (device scan)")
-                n_reads += int(m[2])
-                n_bases += int(m[4])
-            assert int(m[0]) <= cap, (
-                f"batch had {int(m[0])} distinct kmers > cap {cap}; "
-                f"raise cap")
-            n_kmers += int(m[1])
-        nu = int(np.asarray(n_uniq))
+        fold_pending(force=True)
     with stage("D2H-table"):
-        # slice to a power-of-two bucket, not nu: a fresh slice length
-        # would compile a fresh device program per run
-        n_fetch = min(bucket_size(max(nu, 1), 4096),
-                      int(stacked.shape[1]))
-        t = np.asarray(stacked[:, :n_fetch])
+        hashes, counts = _fetch_acc(acc, acc_cap, bucket_size)
+    if len(spilled[0]):
+        hashes, counts = merge_sorted_tables(*spilled, hashes, counts)
+    stats = {"n_reads": n_reads, "n_bases": n_bases, "n_kmers": n_kmers}
+    return SparseEncodedCounts(KmerEncoding(DNAEncoding, k), hashes,
+                               counts), stats
+
+
+def _fetch_acc(acc, acc_cap: int, bucket_size):
+    """D2H the accumulator's live rows: meta-free, the unique count is
+    recovered from the first sentinel row via host searchsorted on the
+    fetched prefix (the table is sorted with sentinels last).  Fetch
+    lengths are power-of-two buckets so slice programs are reused."""
+    n_fetch = 4096
+    while True:
+        t = np.asarray(acc[:, :min(n_fetch, acc_cap)])
+        is_sent = (t[0] == 0xFFFFFFFF) & (t[1] == 0xFFFFFFFF)
+        live = np.flatnonzero(is_sent)
+        nu = int(live[0]) if len(live) else t.shape[1]
+        if nu < t.shape[1] or n_fetch >= acc_cap:
+            break
+        n_fetch *= 4
+    if nu >= acc_cap:
+        raise ValueError(
+            f"accumulator overflow: >= {acc_cap} distinct k-mers; "
+            f"raise acc_cap")
     hashes = (t[0, :nu].astype(np.uint64) |
               (t[1, :nu].astype(np.uint64) << np.uint64(32)))
-    counts = t[2, :nu].astype(np.int64)
+    return hashes, t[2, :nu].astype(np.int64)
+
+
+def _split_fastq_entries(raw: bytes, n: int):
+    """Split a complete-entry FASTQ byte blob into n pieces on entry
+    boundaries (C-speed find/count; empty tail pieces allowed) — the
+    per-batch shard split for the mesh path."""
+    bounds = [0]
+    c_before = 0  # newlines before bounds[-1]
+    prev = 0
+    for i in range(1, n):
+        p = len(raw) * i // n
+        if p <= bounds[-1]:
+            bounds.append(bounds[-1])
+            continue
+        c = c_before + raw.count(b"\n", prev, p)
+        # advance p to the next entry start: after a newline, with the
+        # cumulative newline count a multiple of 4
+        if p and raw[p - 1: p] != b"\n":
+            nl = raw.find(b"\n", p)
+            if nl < 0:
+                p = len(raw)
+            else:
+                p = nl + 1
+                c += 1
+        while p < len(raw) and c % 4:
+            nl = raw.find(b"\n", p)
+            if nl < 0:
+                p = len(raw)
+                break
+            p = nl + 1
+            c += 1
+        prev = p
+        c_before = c
+        bounds.append(p)
+    bounds.append(len(raw))
+    return [raw[bounds[i]: bounds[i + 1]] for i in range(n)]
+
+
+def _count_kmers_fastq_mesh(path: str, k: int, cap: int,
+                            target_bases: int, mesh, n_threads,
+                            acc_cap):
+    """Data-parallel flagship: per-batch read shards counted on every
+    mesh device, tables all_gather-merged into a replicated device
+    accumulator inside ONE jitted shard_map step per batch (SURVEY
+    §2.10; the reference's only analog is the sequential chunk fold,
+    reference: bionumpy/streams/reductions.py:6-23 +
+    bionumpy/io/parser.py:173-178)."""
+    import jax
+    from .encodings import DNAEncoding
+    from .encodings.kmer_encodings import KmerEncoding
+    from .ops.device import bucket_size
+    from .ops.kmers import WORD_BASES
+    from .parallel.sparse_parallel import sharded_sparse_count_fold_step
+    from .sequence.count_encoded import SparseEncodedCounts
+
+    n_dev = int(mesh.devices.size)
+    if acc_cap is None:
+        acc_cap = max(4 * cap, 1 << 22)
+    if n_threads is None:
+        n_threads = min(8, os.cpu_count() or 1)
+    step = sharded_sparse_count_fold_step(mesh, k, cap, acc_cap)
+    _, make_acc, _ = _device_merge_fns()
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    rep = NamedSharding(mesh, P())
+    dp = NamedSharding(mesh, P("dp"))
+    dp2 = NamedSharding(mesh, P("dp", None))
+    acc = jax.jit(lambda: make_acc(acc_cap), out_shardings=rep)()
+
+    pool = ThreadPoolExecutor(n_threads)
+    n_reads = n_bases = n_kmers = 0
+    try:
+        for raw in _prefetched(
+                _batch_raw_bytes(path, target_bases * n_dev, pool)):
+            shards = _split_fastq_entries(raw, n_dev)
+            parsed = [_parse_batch(s) for s in shards]
+            n_words = max(p[0].shape[0] for p in parsed)
+            n_rows = max(p[1].shape[0] for p in parsed)
+            words = np.zeros((n_dev, n_words), np.uint32)
+            ends = np.zeros((n_dev, n_rows), np.int32)
+            n_true = np.zeros(n_dev, np.int32)
+            for d, (w, e, nb, nr) in enumerate(parsed):
+                words[d, : w.shape[0]] = w
+                ends[d, : e.shape[0]] = e
+                ends[d, e.shape[0]:] = e[-1] if e.shape[0] else 0
+                n_true[d] = nb
+                n_reads += nr
+                n_bases += nb
+            with stage("mesh-step"):
+                acc, metas = step(acc, jax.device_put(words, dp2),
+                                  jax.device_put(ends, dp2),
+                                  jax.device_put(n_true, dp))
+            with stage("D2H-meta"):
+                m = np.asarray(metas)
+            if (m[:, 0] > cap).any():
+                raise ValueError(
+                    f"shard had {int(m[:, 0].max())} distinct kmers "
+                    f"> cap {cap}; raise cap")
+            n_kmers += int(m[:, 1].sum())
+            if n_kmers > _SPILL_LIMIT:
+                raise ValueError(
+                    "job exceeds 2^31 k-mers: use the single-device "
+                    "path (it spills to a host int64 table) or split "
+                    "the input")
+    finally:
+        pool.shutdown(wait=False)
+
+    with stage("D2H-table"):
+        hashes, counts = _fetch_acc(acc, acc_cap, bucket_size)
     stats = {"n_reads": n_reads, "n_bases": n_bases, "n_kmers": n_kmers}
     return SparseEncodedCounts(KmerEncoding(DNAEncoding, k), hashes,
                                counts), stats

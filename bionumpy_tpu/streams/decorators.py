@@ -1,9 +1,12 @@
-"""@streamable decorator (reference: bionumpy/streams/decorators.py:9-110).
+"""@streamable: lift a per-chunk function over chunk streams.
 
-If any positional argument is a stream/generator, map the function over
-chunks; an optional reduction folds the results.  The reductions used with
-it are associative — the same fold the parallel layer merges across
-devices with psum (bionumpy_tpu/parallel/).
+Semantics follow the reference decorator (reference:
+bionumpy/streams/decorators.py:9-110): when any positional argument is
+a chunk stream or generator, the function is applied chunk-wise with
+the streamed slots substituted in lock-step; an optional `reduction`
+folds the per-chunk results.  Every reduction used with it in this
+package is associative — the identical fold the parallel layer merges
+across devices with psum (bionumpy_tpu/parallel/).
 """
 from __future__ import annotations
 
@@ -12,33 +15,43 @@ import types
 
 from .stream import BnpStream
 
+_STREAM_TYPES = (BnpStream, types.GeneratorType)
+
 
 class streamable:
+    """Decorator factory.
+
+    >>> @streamable(sum)
+    ... def total(x):
+    ...     return int(x.sum())
+    >>> import numpy as np
+    >>> total(np.arange(5))
+    10
+    >>> total(BnpStream(iter([np.arange(5), np.arange(3)])))
+    13
+    """
+
     def __init__(self, reduction: callable = None):
         self._reduction = reduction
 
-    @staticmethod
-    def _args_stream(args, stream_indices):
-        args = list(args)
-        streams = tuple(args[i] for i in stream_indices)
-        for stream_args in zip(*streams):
-            new_args = list(args)
-            for i, stream_arg in zip(stream_indices, stream_args):
-                new_args[i] = stream_arg
-            yield new_args
-
     def __call__(self, func: callable) -> callable:
         @functools.wraps(func)
-        def new_func(*args, **kwargs):
-            stream_indices = [
-                i for i, arg in enumerate(args)
-                if isinstance(arg, (BnpStream, types.GeneratorType))]
-            if not stream_indices:
+        def wrapper(*args, **kwargs):
+            streamed_slots = {index: value
+                              for index, value in enumerate(args)
+                              if isinstance(value, _STREAM_TYPES)}
+            if not streamed_slots:
                 return func(*args, **kwargs)
-            args_stream = self._args_stream(args, stream_indices)
-            stream = (func(*new_args, **kwargs) for new_args in args_stream)
-            if self._reduction is None:
-                return BnpStream(stream)
-            return self._reduction(stream)
 
-        return new_func
+            def chunk_results():
+                call_args = list(args)
+                for chunks in zip(*streamed_slots.values()):
+                    for slot, chunk in zip(streamed_slots, chunks):
+                        call_args[slot] = chunk
+                    yield func(*call_args, **kwargs)
+
+            if self._reduction is not None:
+                return self._reduction(chunk_results())
+            return BnpStream(chunk_results())
+
+        return wrapper

@@ -1,9 +1,18 @@
-"""Chromosome-synchronized multi-source streams (reference:
-bionumpy/streams/multistream.py:36-218)."""
+"""Chromosome-synchronized multi-source streams.
+
+Semantics follow the reference MultiStream/SynchedStream (reference:
+bionumpy/streams/multistream.py:36-218): several streams or dict-like
+sources are aligned on one contig order, missing contigs are filled
+with an empty default, and sort-order violations raise StreamError.
+The synchronisation here is index-based: each incoming group is mapped
+to its position in the contig order and gaps are filled by range, so
+ordering violations are detected by a single monotonicity check.
+"""
 from __future__ import annotations
 
 import logging
-from typing import Union
+
+import numpy as np
 
 from ..bnpdataclass import BNPDataClass
 from .groupby_func import groupby
@@ -21,30 +30,33 @@ class SequenceSizes(dict):
 
 
 def human_key_func(chrom_name: str):
+    """Sort key giving the human-friendly chr1 < chr2 < ... < chrX
+    ordering, underscore-suffixed scaffolds last per number."""
     assert chrom_name.startswith("chr"), chrom_name
-    parts = chrom_name[3:].split("_", maxsplit=1)
-    is_numeric = 1 - parts[0].isdigit()
-    b = parts[0] if is_numeric else int(parts[0])
-    c = parts[-1] if len(parts) == 2 else ""
-    return (is_numeric, b, c)
+    body, _, suffix = chrom_name[3:].partition("_")
+    if body.isdigit():
+        return (0, int(body), suffix)
+    return (1, body, suffix)
 
 
 def sort_dict_by_key(dictionary, key=None):
-    return {k: dictionary[k] for k in sorted(dictionary.keys(), key=key)}
+    return {name: dictionary[name]
+            for name in sorted(dictionary, key=key)}
 
 
 class SynchedStream(BnpStream):
-    """Group a stream by chromosome and emit groups in `contig_order`,
-    filling missing contigs with an empty default."""
+    """Group a stream by a field (default "chromosome") and emit one
+    group per contig in `contig_order`, empty-filling missing ones."""
 
     def __init__(self, stream, contig_order):
         self._stream = stream
         self._contig_order = list(contig_order)
         self._grouping_attribute = "chromosome"
         self._has_default = True
-        self._default_value = stream.dataclass.empty() \
-            if getattr(stream, "dataclass", None) is not None else None
-        self._key_func = lambda x: x
+        dataclass = getattr(stream, "dataclass", None)
+        self._default_value = dataclass.empty() \
+            if dataclass is not None else None
+        self._key_func = lambda name: name
 
     def set_grouping_attribute(self, attribute_name):
         self._grouping_attribute = attribute_name
@@ -56,43 +68,35 @@ class SynchedStream(BnpStream):
         self._has_default = True
         self._default_value = default_value
 
+    def _fill_value(self, contig):
+        if not self._has_default:
+            raise StreamError(
+                f"no data for contig {contig} and no default value set")
+        logger.info("filling empty data for missing contig %s", contig)
+        return self._default_value
+
     def __iter__(self):
-        grouped = groupby(self._stream, self._grouping_attribute)
-        cur_idx = 0
-        seen = set()
-        for name, data in grouped:
-            name = self._key_func(name)
-            if name in seen:
+        position = {name: i for i, name in enumerate(self._contig_order)}
+        last_emitted = -1
+        for raw_name, data in groupby(self._stream,
+                                      self._grouping_attribute):
+            name = self._key_func(raw_name)
+            target = position.get(name)
+            if target is None:
                 raise StreamError(
-                    f"Sort-order discrepancy: {name} occurred twice")
-            if name not in self._contig_order:
+                    f"stream contig {name!r} is not in the contig "
+                    f"order {self._contig_order}")
+            if target <= last_emitted:
                 raise StreamError(
-                    f"Stream had value not in contig order: {name} "
-                    f"({self._contig_order})")
-            while cur_idx < len(self._contig_order) and \
-                    name != self._contig_order[cur_idx]:
-                if not self._has_default:
-                    raise StreamError(
-                        f"Missing data for {self._contig_order[cur_idx]} and "
-                        f"no default set")
-                logger.info("Filling empty data for missing contig %s",
-                            self._contig_order[cur_idx])
-                yield self._default_value
-                seen.add(self._contig_order[cur_idx])
-                cur_idx += 1
-            if cur_idx >= len(self._contig_order):
-                raise StreamError(
-                    f"Stream element {name} after end of contig order")
+                    f"sort-order discrepancy: {name!r} arrived after "
+                    f"{self._contig_order[last_emitted]!r} (stream must "
+                    f"follow the contig order)")
+            for gap in range(last_emitted + 1, target):
+                yield self._fill_value(self._contig_order[gap])
             yield data
-            seen.add(name)
-            cur_idx += 1
-        while cur_idx < len(self._contig_order):
-            if not self._has_default:
-                raise StreamError(
-                    f"Missing data for {self._contig_order[cur_idx]} and no "
-                    f"default set")
-            yield self._default_value
-            cur_idx += 1
+            last_emitted = target
+        for gap in range(last_emitted + 1, len(self._contig_order)):
+            yield self._fill_value(self._contig_order[gap])
 
     def __repr__(self):
         return f"SynchedStream over {self._contig_order}"
@@ -101,7 +105,7 @@ class SynchedStream(BnpStream):
 
 
 class IndexedStream(BnpStream):
-    """Stream over dict-like values in contig order."""
+    """Stream the values of a dict-like source in contig order."""
 
     def __init__(self, lookup, contig_order):
         self._lookup = lookup
@@ -117,33 +121,40 @@ class IndexedStream(BnpStream):
 
 
 class MultiStream:
-    """Synchronize several streams/dicts on a common chromosome order."""
+    """Synchronize several streams/dicts on one chromosome order; each
+    keyword source becomes an attribute yielding per-contig data."""
 
-    def __init__(self, sequence_sizes, **kwargs):
+    def __init__(self, sequence_sizes, **sources):
+        names, lengths = self._names_and_lengths(sequence_sizes)
+        self._sequence_names = names
+        self.lengths = BnpStream(lengths)
+        self.sequence_names = BnpStream(names)
+        for keyword, value in sources.items():
+            self.__dict__[keyword] = self._synchronize(keyword, value,
+                                                       names)
+
+    @staticmethod
+    def _names_and_lengths(sequence_sizes):
         from ..datatypes import ChromosomeSize
         if isinstance(sequence_sizes, dict):
-            sequence_names = list(sequence_sizes.keys())
-            sequence_lengths = list(sequence_sizes.values())
-        elif isinstance(sequence_sizes, ChromosomeSize):
-            sequence_names = sequence_sizes.name.tolist()
-            sequence_lengths = np.asarray(sequence_sizes.size).tolist()
-        else:
-            raise TypeError(
-                "MultiStream needs a dict or ChromosomeSize, got "
-                f"{type(sequence_sizes)}")
-        self._sequence_names = sequence_names
-        self.lengths = BnpStream(sequence_lengths)
-        self.sequence_names = BnpStream(sequence_names)
-        for keyword, value in kwargs.items():
-            if isinstance(value, BNPDataClass):
-                value = NpDataclassStream([value], value.__class__)
-            if isinstance(value, BnpStream):
-                self.__dict__[keyword] = SynchedStream(value, sequence_names)
-            elif hasattr(value, "__getitem__"):
-                self.__dict__[keyword] = IndexedStream(value, sequence_names)
-            else:
-                raise ValueError(
-                    f"Only streams and dict-likes supported: {keyword}")
+            return (list(sequence_sizes.keys()),
+                    list(sequence_sizes.values()))
+        if isinstance(sequence_sizes, ChromosomeSize):
+            return (sequence_sizes.name.tolist(),
+                    np.asarray(sequence_sizes.size).tolist())
+        raise TypeError("MultiStream needs a dict or ChromosomeSize, "
+                        f"got {type(sequence_sizes)}")
+
+    @staticmethod
+    def _synchronize(keyword, value, names):
+        if isinstance(value, BNPDataClass):
+            value = NpDataclassStream([value], value.__class__)
+        if isinstance(value, BnpStream):
+            return SynchedStream(value, names)
+        if hasattr(value, "__getitem__"):
+            return IndexedStream(value, names)
+        raise ValueError(
+            f"only streams and dict-likes supported: {keyword}")
 
     def set_defaults(self, **kwargs):
         for keyword, default_value in kwargs.items():
@@ -157,6 +168,3 @@ class MultiStream:
 
     human_key_func = staticmethod(human_key_func)
     sort_dict_by_key = staticmethod(sort_dict_by_key)
-
-
-import numpy as np  # noqa: E402

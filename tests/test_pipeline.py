@@ -166,3 +166,85 @@ def test_many_batches_device_fold(tmp_path):
     assert np.array_equal(counts.label_codes, expected.label_codes)
     assert np.array_equal(counts.counts, expected.counts * 5)
     assert stats["n_reads"] == 5000
+
+
+def test_cap_overflow_retries_batch(tmp_path):
+    """A batch with more distinct kmers than `cap` is recounted at a
+    doubled cap instead of dying after the job (VERDICT r2 item 6)."""
+    rng = np.random.default_rng(7)
+    seqs = ["".join("ACGT"[c] for c in rng.integers(0, 4, 120))
+            for _ in range(40)]  # ~3600 distinct 31-mers
+    raw = "".join(f"@r{i}\n{s}\n+\n{'I' * len(s)}\n"
+                  for i, s in enumerate(seqs)).encode()
+    path = tmp_path / "dense.fq"
+    path.write_bytes(raw)
+    got, stats = count_kmers_fastq(str(path), 31, cap=256,
+                                   acc_cap=1 << 13)
+    exp, stats2 = count_kmers_fastq(str(path), 31, cap=1 << 13,
+                                    acc_cap=1 << 13)
+    assert int(exp.counts.sum()) == stats2["n_kmers"]
+    assert np.array_equal(got.label_codes, exp.label_codes)
+    assert np.array_equal(got.counts, exp.counts)
+    assert stats["n_kmers"] == stats2["n_kmers"]
+
+
+def test_acc_overflow_raises(tmp_path):
+    rng = np.random.default_rng(8)
+    s = "".join("ACGT"[c] for c in rng.integers(0, 4, 4000))
+    raw = f"@r\n{s}\n+\n{'I' * len(s)}\n".encode()
+    path = tmp_path / "wide.fq"
+    path.write_bytes(raw)
+    with pytest.raises(ValueError, match="acc_cap"):
+        count_kmers_fastq(str(path), 31, cap=1 << 13, acc_cap=2048)
+
+
+def test_spill_to_host_table(tmp_path, monkeypatch):
+    """Total counts past _SPILL_LIMIT fold through the host int64 table
+    (guards merge_hash_tables' int32 cumsum; ADVICE r2)."""
+    import bionumpy_tpu.pipeline as pl
+    member = open(BIG_FQ, "rb").read()
+    path = tmp_path / "multi.fq.gz"
+    path.write_bytes(member * 4)
+    monkeypatch.setattr(pl, "_SPILL_LIMIT", 100_000)
+    counts, stats = count_kmers_fastq(str(path), 31,
+                                      target_bases=100_000)
+    expected = _expected_counts(BIG_FQ, 31)
+    assert np.array_equal(counts.label_codes, expected.label_codes)
+    assert np.array_equal(counts.counts, expected.counts * 4)
+
+
+def test_mesh_path_matches_single_device(tmp_path):
+    """count_kmers_fastq(mesh=...) on the virtual 8-device CPU mesh
+    equals the single-device counts (VERDICT r2 item 4)."""
+    import jax
+    from bionumpy_tpu.parallel import create_mesh
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = create_mesh(8)
+    member = open(BIG_FQ, "rb").read()
+    path = tmp_path / "multi.fq.gz"
+    path.write_bytes(member * 3)
+    got, stats = count_kmers_fastq(str(path), 31, cap=1 << 17,
+                                   target_bases=100_000, mesh=mesh)
+    expected = _expected_counts(BIG_FQ, 31)
+    assert np.array_equal(got.label_codes, expected.label_codes)
+    assert np.array_equal(got.counts, expected.counts * 3)
+    assert stats["n_reads"] == 3000
+
+
+def test_split_fastq_entries():
+    from bionumpy_tpu.pipeline import _split_fastq_entries
+    entry = b"@r%d\nACGTACGTXX\n+\nIIIIIIIIII\n"
+    raw = b"".join(entry % i for i in range(103))
+    for n in (1, 2, 3, 8, 16):
+        parts = _split_fastq_entries(raw, n)
+        assert len(parts) == n
+        assert b"".join(parts) == raw
+        for p in parts:
+            assert p.count(b"\n") % 4 == 0
+            if p:
+                assert p.startswith(b"@r")
+    # tiny input, many shards -> empty tails allowed
+    parts = _split_fastq_entries(entry % 0, 8)
+    assert b"".join(parts) == entry % 0
+    assert sum(1 for p in parts if p) == 1

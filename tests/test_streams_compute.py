@@ -112,3 +112,90 @@ def test_genomic_streamed_mean_pipeline(example_data):
     total = np.sum(track * 2)
     result = compute(total)
     assert result == 2 * (100 * 2.0 + 50 * 4.0)
+
+
+def test_fold_state_stays_on_device():
+    """When per-chunk maps produce device arrays (here the binned
+    pileup partial), the streamed fold accumulates in HBM — the
+    jit-step + on-device-accumulator design (SURVEY §7b)."""
+    import jax
+    from bionumpy_tpu.ops.tracks import binned_pileup
+
+    def chunk_bins(iv):
+        import jax.numpy as jnp
+        starts = jnp.asarray(np.asarray(iv.start, np.int32))
+        stops = jnp.asarray(np.asarray(iv.stop, np.int32))
+        return binned_pileup(starts, stops,
+                             jnp.ones(len(starts), bool), 10, 10)
+
+    from bionumpy_tpu.datatypes import Interval
+    chunks = [Interval(["c"] * 3, [0, 15, 40], [10, 25, 90]),
+              Interval(["c"] * 2, [5, 50], [8, 60])]
+    from bionumpy_tpu.computation_graph import SUM, ReductionNode
+    node = StreamNode(iter(chunks))
+    total = ReductionNode(ComputationNode(chunk_bins, [node]), SUM)
+    result = total.compute()
+    assert isinstance(result, jax.Array)  # fold never left the device
+    exp = np.zeros(100, np.int64)
+    for c in chunks:
+        for s, e in zip(np.asarray(c.start), np.asarray(c.stop)):
+            exp[s:e] += 1
+    np.testing.assert_array_equal(np.asarray(result),
+                                  exp.reshape(10, 10).sum(axis=1))
+
+
+def test_mixed_roots_single_pass():
+    """Reductions and concat-style roots evaluate together in ONE pass
+    (the reference had to forbid mixing; the push executor does not)."""
+    pulls = []
+
+    def counting():
+        for i in range(3):
+            pulls.append(i)
+            yield np.full(4, float(i))
+
+    node = StreamNode(counting())
+    doubled = node * 2
+    results = compute({"cat": doubled, "total": np.sum(doubled),
+                       "mean": np.mean(node), "const": 7})
+    assert pulls == [0, 1, 2]  # one pass, shared by all roots
+    np.testing.assert_array_equal(
+        results["cat"], np.repeat([0.0, 2.0, 4.0], 4))
+    assert results["total"] == 24.0
+    assert results["mean"] == 1.0
+    assert results["const"] == 7
+
+
+def test_shared_subexpression_evaluated_once():
+    calls = []
+
+    def spy(x):
+        calls.append(1)
+        return x + 1
+
+    node = StreamNode(iter([np.arange(3), np.arange(3)]))
+    shared = ComputationNode(spy, [node])
+    a = np.sum(shared)
+    b = np.sum(shared * 2)
+    res = compute([a, b])
+    assert len(calls) == 2  # once per chunk, not per consumer
+    assert res[0] == 12 and res[1] == 24
+
+
+def test_error_attribution_carries_build_site():
+    node = StreamNode(iter([np.arange(3)]))
+    bad = ComputationNode(lambda x: x[100], [node])
+    from bionumpy_tpu.computation_graph import ComputationException
+    with pytest.raises(ComputationException):
+        bad.compute()
+
+
+def test_histogram_stream_fold():
+    chunks = [np.array([0.5, 1.5, 1.6]), np.array([2.5, 0.1])]
+    node = StreamNode(iter(chunks))
+    h = np.histogram(node, bins=np.array([0.0, 1.0, 2.0, 3.0]))
+    counts, edges = compute(h)
+    exp_c, exp_e = np.histogram(np.concatenate(chunks),
+                                bins=np.array([0.0, 1.0, 2.0, 3.0]))
+    np.testing.assert_array_equal(counts, exp_c)
+    np.testing.assert_array_equal(edges, exp_e)
