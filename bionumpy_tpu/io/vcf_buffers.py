@@ -29,7 +29,8 @@ logger = logging.getLogger(__name__)
 
 
 class InfoBuffer(DelimitedBuffer):
-    """Buffer over the INFO column's KEY=value tokens."""
+    """Buffer over the INFO column's KEY=value tokens; flag-typed keys
+    (bool) test presence instead of parsing a value."""
 
     def __init__(self, buffer_extractor: NamedBufferExtractor,
                  dataclass: BNPDataClass):
@@ -37,49 +38,64 @@ class InfoBuffer(DelimitedBuffer):
         self._dataclass = dataclass
         self._is_validated = True
 
+    def _validate(self):
+        pass  # token spans are pre-cut; nothing to check
+
     @property
     def dataclass(self):
         return self._dataclass
 
-    @classmethod
-    def concatenate(cls, buffers):
-        extractor = buffers[0]._buffer_extractor.concatenate(
-            [b._buffer_extractor for b in buffers])
-        return cls(extractor, buffers[0]._dataclass)
-
-    def __getitem__(self, idx):
-        return self.__class__(self._buffer_extractor[idx], self._dataclass)
-
     def _get_field_by_number(self, col_number, field_type):
-        if field_type == bool:
+        if field_type is bool:
             return self._buffer_extractor.has_field_number(col_number)
         return super()._get_field_by_number(col_number, field_type)
 
-    def _validate(self):
-        pass
+    def __getitem__(self, idx):
+        return type(self)(self._buffer_extractor[idx], self._dataclass)
+
+    @classmethod
+    def concatenate(cls, buffers):
+        merged = buffers[0]._buffer_extractor.concatenate(
+            [b._buffer_extractor for b in buffers])
+        return cls(merged, buffers[0]._dataclass)
 
 
 def translate_field_type(info_dict):
-    t = info_dict.get("Type", str)
+    """##INFO Type/Number metadata -> the python field type the record
+    model coerces by (List[...] when Number allows several values)."""
+    declared = info_dict.get("Type", str)
     number = info_dict.get("Number", 1)
-    is_list = (number is None) or (number is not None and number > 1)
-    if t == Optional[int] and is_list:
-        return List[int]
-    if t == Optional[float] and is_list:
-        return List[float]
-    if is_list:
-        return str
-    return t
+    if number is not None and number <= 1:
+        return declared
+    scalar_to_list = {Optional[int]: List[int],
+                      Optional[float]: List[float]}
+    return scalar_to_list.get(declared, str)
 
 
 def create_info_dataclass(header_data):
     if not header_data:
         return str
     header = parse_header(header_data)
-    info_fields = [(key, translate_field_type(val))
-                   for key, val in header.INFO.items()
-                   if key != "Without ID"]
-    return make_dataclass(info_fields, "InfoDataclass")
+    return make_dataclass(
+        [(key, translate_field_type(meta))
+         for key, meta in header.INFO.items() if key != "Without ID"],
+        "InfoDataclass")
+
+
+def _info_token_spans(text):
+    """Cut each row's INFO text (trailing separator kept) into its
+    ';'-separated KEY=value token spans.  Returns (flat_bytes,
+    token_starts ragged, token_lengths ragged) over the raveled text —
+    the gather plan NamedBufferExtractor indexes by key."""
+    flat = text.ravel()
+    row_bounds = np.insert(np.cumsum(text.lengths), 0, 0)
+    after_semicolon = np.flatnonzero(np.asarray(flat == ";")) + 1
+    cuts = np.sort(np.concatenate([after_semicolon, row_bounds]),
+                   kind="mergesort")
+    tokens_per_row = np.diff(np.searchsorted(cuts, row_bounds))
+    starts = RaggedArray(cuts[:-1].copy(), tokens_per_row)
+    lengths = RaggedArray(cuts[1:], tokens_per_row) - 1 - starts
+    return flat, starts, lengths
 
 
 class VCFBuffer(DelimitedBuffer):
@@ -87,26 +103,25 @@ class VCFBuffer(DelimitedBuffer):
     (reference: bionumpy/io/vcf_buffers.py:100-103)."""
 
     dataclass = VCFEntry
-    _info_dataclass = None
-    _vcf_data_class = None
-    info_cache = {}
-    vcfentry_cache = {}
+    info_cache = {}       # header text -> (info dc, lazy info dc)
+    vcfentry_cache = {}   # (entry dc, header) -> (narrowed dc, lazy dc)
+
+    # columns with bespoke parsers (INFO, genotype block); position
+    # (column 1) additionally shifts 1-based disk -> 0-based memory
+    _SPECIAL_COLUMNS = {7: "_get_info_field", 8: "_extract_genotypes",
+                        9: "_extract_genotype_data"}
+    _POSITION_COLUMN = 1
 
     @property
     def actual_dataclass(self):
         return self.vcf_data_class
 
     def _get_field_by_number(self, field_nr: int, field_type: type = object):
-        if field_nr == 7:
-            return self._get_info_field()
-        if field_nr == 8:
-            return self._extract_genotypes()
-        if field_nr == 9:
-            return self._extract_genotype_data()
-        val = super()._get_field_by_number(field_nr, field_type)
-        if field_nr == 1:
-            val = val - 1
-        return val
+        special = self._SPECIAL_COLUMNS.get(field_nr)
+        if special is not None:
+            return getattr(self, special)()
+        value = super()._get_field_by_number(field_nr, field_type)
+        return value - 1 if field_nr == self._POSITION_COLUMN else value
 
     @classmethod
     def from_data(cls, data: BNPDataClass) -> EncodedArray:
@@ -121,41 +136,41 @@ class VCFBuffer(DelimitedBuffer):
             return value + 1
         return super().process_field_for_write(field_name, value)
 
+    @classmethod
+    def _info_classes_for(cls, header_data):
+        """(eager, lazy) INFO dataclass pair, memoised per header text
+        (generated classes are expensive; files share headers)."""
+        if header_data not in cls.info_cache:
+            eager = create_info_dataclass(header_data)
+            lazy = None if eager is str else create_lazy_class(eager)
+            cls.info_cache[header_data] = (eager, lazy)
+        return cls.info_cache[header_data]
+
+    @classmethod
+    def _entry_classes_for(cls, header_data):
+        """(eager, lazy) record-class pair with the info field narrowed
+        to this header's INFO dataclass, memoised."""
+        key = (cls.dataclass, header_data)
+        if key not in cls.vcfentry_cache:
+            has_info = header_data and "##INFO" in header_data
+            info_class = cls._info_classes_for(header_data)[0] \
+                if has_info else str
+            narrowed = narrow_type(cls.dataclass, "info", info_class)
+            cls.vcfentry_cache[key] = (narrowed,
+                                       create_lazy_class(narrowed))
+        return cls.vcfentry_cache[key]
+
     @property
     def info_dataclass(self):
-        if self._info_dataclass is None:
-            self._info_dataclass = self._make_info_dataclass()
-        return self._info_dataclass
-
-    @property
-    def vcf_data_class(self):
-        if self._vcf_data_class is None:
-            self._vcf_data_class = self._make_vcf_dataclass()
-        return self._vcf_data_class
-
-    def _make_info_dataclass(self):
-        cache = self.__class__.info_cache
-        if self.header_data in cache:
-            return cache[self.header_data][0]
-        dc = create_info_dataclass(self._header_data)
-        cache[self.header_data] = (dc, create_lazy_class(dc)
-                                   if dc is not str else None)
-        return cache[self.header_data][0]
-
-    def _make_vcf_dataclass(self):
-        cache = self.__class__.vcfentry_cache
-        key = (self.dataclass, self.header_data)
-        if key in cache:
-            return cache[key][0]
-        info_class = str if not self.header_data or \
-            "##INFO" not in self.header_data else self.info_dataclass
-        vcf_entry = narrow_type(self.dataclass, "info", info_class)
-        cache[key] = (vcf_entry, create_lazy_class(vcf_entry))
-        return cache[key][0]
+        return self._info_classes_for(self.header_data)[0]
 
     @property
     def _lazy_info_class(self):
-        return self.__class__.info_cache[self.header_data][1]
+        return self._info_classes_for(self.header_data)[1]
+
+    @property
+    def vcf_data_class(self):
+        return self._entry_classes_for(self.header_data)[0]
 
     @classmethod
     def modify_class_with_header_data(cls, header_data):
@@ -174,8 +189,7 @@ class VCFBuffer(DelimitedBuffer):
         ModifiedClass.__qualname__ = cls.__qualname__ + "H"
         return ModifiedClass
 
-    def _get_info_field(self):
-        field_nr = 7
+    def _get_info_field(self, field_nr: int = 7):
         if (not self._header_data) or ("##INFO" not in self._header_data):
             logger.warning(
                 "No ##INFO in header; returning INFO field as text")
@@ -184,24 +198,17 @@ class VCFBuffer(DelimitedBuffer):
                                          self._lazy_info_class)
 
     def _get_dataclass_field(self, field_nr, dataclass, lazy_dataclass):
-        text = self._buffer_extractor.get_field_by_number(field_nr,
-                                                          keep_sep=True)
-        flat_text = text.ravel()
-        delimiters = np.flatnonzero(np.asarray(flat_text == ";")) + 1
-        offsets = np.insert(np.cumsum(text.lengths), 0, 0)
-        all_delimiters = np.sort(np.concatenate([delimiters, offsets]),
-                                 kind="mergesort")
-        delimiter_offsets = np.searchsorted(all_delimiters, offsets)
-        dl_lens = np.diff(delimiter_offsets)
-        starts = RaggedArray(all_delimiters[:-1].copy(), dl_lens)
-        ends = RaggedArray(all_delimiters[1:], dl_lens) - 1
-        lens = ends - starts
+        """A KEY=value column as a lazy dataclass: cut token spans, wrap
+        them in a named extractor, and hand the InfoBuffer to the lazy
+        class so individual keys parse on attribute access."""
+        column_text = self._buffer_extractor.get_field_by_number(
+            field_nr, keep_sep=True)
+        flat, starts, lengths = _info_token_spans(column_text)
         extractor = NamedBufferExtractor(
-            flat_text, starts, lens,
+            flat, starts, lengths,
             [f.name for f in dataclasses.fields(dataclass)])
-        buf = InfoBuffer(extractor, dataclass)
-        item_getter = ItemGetter(buf, dataclass)
-        return lazy_dataclass(item_getter)
+        return lazy_dataclass(
+            ItemGetter(InfoBuffer(extractor, dataclass), dataclass))
 
     def _extract_genotypes(self):
         if self._buffer_extractor.n_fields < 10:

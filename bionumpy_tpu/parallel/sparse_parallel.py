@@ -127,7 +127,8 @@ def sharded_sparse_count_fold_step(mesh: Mesh, k: int, cap: int,
     per-shard meta matrix.
 
     step(acc, words, ends, n_true) -> (new_acc (3, acc_cap) uint32,
-    metas (n_dev, 2) int32 [n_unique, n_valid] per shard).
+    metas (n_dev, 2) int32 [n_unique, n_valid] per shard,
+    n_unique_total scalar).
     """
     key = (mesh, k, cap, acc_cap)
     if key in _FOLD_STEP_CACHE:
@@ -140,7 +141,7 @@ def sharded_sparse_count_fold_step(mesh: Mesh, k: int, cap: int,
 
     @partial(shard_map, mesh=mesh,
              in_specs=(P(), P("dp", None), P("dp", None), P("dp")),
-             out_specs=(P(), P()), **check_kw)
+             out_specs=(P(), P(), P()), **check_kw)
     def step(acc, words_b, ends_b, n_true_b):
         lo_t, hi_t, cnt, meta = _local_table(words_b[0], ends_b[0],
                                              n_true_b[0], k, cap)
@@ -151,9 +152,9 @@ def sharded_sparse_count_fold_step(mesh: Mesh, k: int, cap: int,
         lo = jnp.concatenate([acc[0], lo_g])
         hi = jnp.concatenate([acc[1], hi_g])
         c = jnp.concatenate([acc[2].astype(jnp.int32), cnt_g])
-        m_lo, m_hi, m_cnt, _n_u = merge_hash_tables(lo, hi, c, acc_cap)
+        m_lo, m_hi, m_cnt, n_u = merge_hash_tables(lo, hi, c, acc_cap)
         return (jnp.stack([m_lo, m_hi, m_cnt.astype(jnp.uint32)]),
-                metas)
+                metas, n_u)
 
     jitted = jax.jit(step, donate_argnums=(0,))
     _FOLD_STEP_CACHE[key] = jitted

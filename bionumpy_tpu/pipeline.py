@@ -405,16 +405,18 @@ def count_kmers_fastq(path: str, k: int = 31, cap: int = 1 << 20,
                 padded.shape[0] // 16, k, batch_cap)
         return (table[0], table[1], table[2].astype(jnp.int32)), meta
 
+    acc_nu = None  # device scalar: distinct rows after the last fold
+
     def fold_pending(force=False):
         """Fold exactly ACC_FOLD pending tables into the accumulator
         (padding with cached sentinel tables when force=True)."""
-        nonlocal acc
+        nonlocal acc, acc_nu
         while len(pending) >= ACC_FOLD or (force and pending):
             batch, rest = pending[:ACC_FOLD], pending[ACC_FOLD:]
             while len(batch) < ACC_FOLD:
                 batch.append(_sentinel_table(cap, device))
             with stage("device-fold"):
-                acc, _n_u = fold_program(acc, tuple(batch), acc_cap)
+                acc, acc_nu = fold_program(acc, tuple(batch), acc_cap)
             pending[:] = rest
             if not force:
                 break
@@ -422,12 +424,13 @@ def count_kmers_fastq(path: str, k: int = 31, cap: int = 1 << 20,
     def spill_acc():
         """Fetch the accumulator and fold it into the host int64 table
         (guards the int32 count cumsum in merge_hash_tables)."""
-        nonlocal acc, spilled, kmers_in_acc
+        nonlocal acc, acc_nu, spilled, kmers_in_acc
         fold_pending(force=True)
-        h, c = _fetch_acc(acc, acc_cap, bucket_size)
+        h, c = _fetch_acc(acc, acc_cap, acc_nu)
         spilled = merge_sorted_tables(*spilled, h, c)
         with jax.default_device(device):
             acc = make_acc(acc_cap)
+        acc_nu = None
         kmers_in_acc = 0
 
     def resolve_one():
@@ -539,7 +542,7 @@ def count_kmers_fastq(path: str, k: int = 31, cap: int = 1 << 20,
     with stage("device-merge"):
         fold_pending(force=True)
     with stage("D2H-table"):
-        hashes, counts = _fetch_acc(acc, acc_cap, bucket_size)
+        hashes, counts = _fetch_acc(acc, acc_cap, acc_nu)
     if len(spilled[0]):
         hashes, counts = merge_sorted_tables(*spilled, hashes, counts)
     stats = {"n_reads": n_reads, "n_bases": n_bases, "n_kmers": n_kmers}
@@ -547,24 +550,31 @@ def count_kmers_fastq(path: str, k: int = 31, cap: int = 1 << 20,
                                counts), stats
 
 
-def _fetch_acc(acc, acc_cap: int, bucket_size):
-    """D2H the accumulator's live rows: meta-free, the unique count is
-    recovered from the first sentinel row via host searchsorted on the
-    fetched prefix (the table is sorted with sentinels last).  Fetch
-    lengths are power-of-two buckets so slice programs are reused."""
-    n_fetch = 4096
-    while True:
-        t = np.asarray(acc[:, :min(n_fetch, acc_cap)])
-        is_sent = (t[0] == 0xFFFFFFFF) & (t[1] == 0xFFFFFFFF)
-        live = np.flatnonzero(is_sent)
-        nu = int(live[0]) if len(live) else t.shape[1]
-        if nu < t.shape[1] or n_fetch >= acc_cap:
-            break
-        n_fetch *= 4
+# D2H slice-length quantum: fetch lengths round UP to a multiple of
+# this so slice programs are reused (a fresh python-int slice length is
+# a fresh relay compile) while over-fetch past the live rows stays
+# bounded at quantum-1 rows (a power-of-two bucket over-fetches ~2x)
+_FETCH_QUANTUM = 1 << 18
+
+
+def _fetch_acc(acc, acc_cap: int, nu_dev=None):
+    """D2H the accumulator's live rows in ONE quantum-rounded slice.
+    `nu_dev` is the device scalar the fold program returned; when None
+    (no fold ran) the live count is probed from a small prefix."""
+    if nu_dev is not None:
+        nu = int(np.asarray(nu_dev))
+    else:
+        head = np.asarray(acc[:2, :4096])
+        sent = np.flatnonzero((head[0] == 0xFFFFFFFF)
+                              & (head[1] == 0xFFFFFFFF))
+        nu = int(sent[0]) if len(sent) else 4096
     if nu >= acc_cap:
         raise ValueError(
             f"accumulator overflow: >= {acc_cap} distinct k-mers; "
             f"raise acc_cap")
+    q = _FETCH_QUANTUM
+    n_fetch = min(max(4096, (nu + q - 1) // q * q), acc_cap)
+    t = np.asarray(acc[:, :n_fetch])
     hashes = (t[0, :nu].astype(np.uint64) |
               (t[1, :nu].astype(np.uint64) << np.uint64(32)))
     return hashes, t[2, :nu].astype(np.int64)
@@ -638,6 +648,7 @@ def _count_kmers_fastq_mesh(path: str, k: int, cap: int,
 
     pool = ThreadPoolExecutor(n_threads)
     n_reads = n_bases = n_kmers = 0
+    acc_nu = None
     try:
         for raw in _prefetched(
                 _batch_raw_bytes(path, target_bases * n_dev, pool)):
@@ -656,9 +667,10 @@ def _count_kmers_fastq_mesh(path: str, k: int, cap: int,
                 n_reads += nr
                 n_bases += nb
             with stage("mesh-step"):
-                acc, metas = step(acc, jax.device_put(words, dp2),
-                                  jax.device_put(ends, dp2),
-                                  jax.device_put(n_true, dp))
+                acc, metas, acc_nu = step(acc,
+                                          jax.device_put(words, dp2),
+                                          jax.device_put(ends, dp2),
+                                          jax.device_put(n_true, dp))
             with stage("D2H-meta"):
                 m = np.asarray(metas)
             if (m[:, 0] > cap).any():
@@ -675,7 +687,7 @@ def _count_kmers_fastq_mesh(path: str, k: int, cap: int,
         pool.shutdown(wait=False)
 
     with stage("D2H-table"):
-        hashes, counts = _fetch_acc(acc, acc_cap, bucket_size)
+        hashes, counts = _fetch_acc(acc, acc_cap, acc_nu)
     stats = {"n_reads": n_reads, "n_bases": n_bases, "n_kmers": n_kmers}
     return SparseEncodedCounts(KmerEncoding(DNAEncoding, k), hashes,
                                counts), stats

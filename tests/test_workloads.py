@@ -101,7 +101,7 @@ def test_config4_pwm_match_positions(example_data):
                      for row in scores]
     matrix = pwm.matrix
     w = pwm.window_size
-    for row_idx in range(0, 100, 17):
+    for row_idx in range(100):  # every read, not a sample
         codes = np.asarray(seqs[row_idx].raw())
         want = []
         for i in range(len(codes) - w + 1):
@@ -155,8 +155,31 @@ def test_config5_sbs96_and_intersect(example_data):
 
     from bionumpy_tpu.variants import count_mutation_types_genomic
     counts = count_mutation_types_genomic(_Vars(locations, snps), sequence)
-    assert counts.counts.sum() > 0
     assert len(counts.alphabet) == 96
+
+    # GOLDEN check: the full 96-vector against an independent pure-
+    # python twin (string contexts + strand collapse via a dict), the
+    # reference's validate_equal bar (reference:
+    # benchmarks/config.yml:79-117)
+    import collections as _coll
+    comp = str.maketrans("ACGT", "TGCA")
+    expected = _coll.Counter()
+    chrom_l = snps.chromosome.tolist()
+    pos_l = np.asarray(snps.position).tolist()
+    alt_l = snps.alt_seq.tolist()
+    for name, pos, alt in zip(chrom_l, pos_l, alt_l):
+        context = ref[name][pos - 1: pos + 2]
+        if len(context) < 3 or "N" in context:
+            continue
+        if context[1] in "CT":
+            ctx, a = context, alt
+        else:
+            ctx = context.translate(comp)[::-1]
+            a = alt.translate(comp)
+        expected[f"{ctx[0]}[{ctx[1]}>{a}]{ctx[2]}"] += 1
+    want = np.array([expected[label] for label in counts.alphabet])
+    assert want.sum() == len(snps)
+    np.testing.assert_array_equal(np.asarray(counts.counts), want)
 
     # intersect / jaccard on real bed pair
     a = bnp.open(str(example_data / "ctcf_chr21-22.bed.gz")).read()
@@ -187,3 +210,39 @@ def test_config5_sbs96_and_intersect(example_data):
                 cur_e = max(cur_e, e)
         union += cur_e - cur_s
     assert dense_cover == union
+
+
+def test_config5_jaccard_two_different_files(example_data):
+    """Jaccard between ctcf and znf263 peaks on chr21-22 against an
+    independent dense-mask recompute (two DIFFERENT files, not the
+    self-comparison; reference protocol: benchmarks/config.yml:57-77)."""
+    chroms = {"chr21": 46709983, "chr22": 50818468}
+    from bionumpy_tpu.genomic_data import Geometry
+    geom = Geometry(chroms)
+
+    def load(name):
+        data = bnp.open(str(example_data / name)).read()
+        keep = np.isin(np.asarray(data.chromosome.tolist()),
+                       list(chroms))
+        return geom.sort(data[keep])
+
+    a = load("ctcf_chr21-22.bed.gz")
+    b = load("znf263.bed.gz")
+    got = geom.jaccard(a, b)
+
+    # independent recompute: dense boolean coverage per chromosome
+    inter = union = 0
+    for name, size in chroms.items():
+        masks = []
+        for data in (a, b):
+            sel = np.asarray(data.chromosome.tolist()) == name
+            m = np.zeros(size, bool)
+            for s, e in zip(np.asarray(data.start)[sel],
+                            np.asarray(data.stop)[sel]):
+                m[s:e] = True
+            masks.append(m)
+        inter += int((masks[0] & masks[1]).sum())
+        union += int((masks[0] | masks[1]).sum())
+    expected = inter / union
+    assert 0 < expected < 1  # genuinely different files
+    assert got == pytest.approx(expected, abs=1e-12)
