@@ -174,20 +174,15 @@ class VCFBuffer(DelimitedBuffer):
 
     @classmethod
     def modify_class_with_header_data(cls, header_data):
+        """Specialise this buffer class to a header: the record class
+        gets its info field narrowed to the header's INFO dataclass."""
         if not header_data or "##INFO" not in header_data:
             return cls
-        info_class = create_info_dataclass(header_data)
-        new_dataclass = narrow_type(cls.dataclass, "info", info_class)
-        new_lazy_class = create_lazy_class(new_dataclass)
-
-        class ModifiedClass(cls):
-            _header_data = header_data
-            dataclass = new_dataclass
-            lazy_class = new_lazy_class
-
-        ModifiedClass.__name__ = cls.__name__ + "H"
-        ModifiedClass.__qualname__ = cls.__qualname__ + "H"
-        return ModifiedClass
+        eager, lazy = cls._entry_classes_for(header_data)
+        return type(cls.__name__ + "H", (cls,),
+                    {"_header_data": header_data, "dataclass": eager,
+                     "lazy_class": lazy,
+                     "__qualname__": cls.__qualname__ + "H"})
 
     def _get_info_field(self, field_nr: int = 7):
         if (not self._header_data) or ("##INFO" not in self._header_data):

@@ -59,12 +59,15 @@ class SynchedStream(BnpStream):
         self._key_func = lambda name: name
 
     def set_grouping_attribute(self, attribute_name):
+        """Group by a different field than \"chromosome\"."""
         self._grouping_attribute = attribute_name
 
     def set_key_function(self, key_function):
+        """Map incoming group names before contig-order lookup."""
         self._key_func = key_function
 
     def set_default(self, default_value):
+        """Value yielded for contigs the stream has no data for."""
         self._has_default = True
         self._default_value = default_value
 
@@ -156,15 +159,16 @@ class MultiStream:
         raise ValueError(
             f"only streams and dict-likes supported: {keyword}")
 
+    def _configure(self, method_name, settings):
+        for keyword, value in settings.items():
+            assert keyword in self.__dict__, keyword
+            getattr(self.__dict__[keyword], method_name)(value)
+
     def set_defaults(self, **kwargs):
-        for keyword, default_value in kwargs.items():
-            assert keyword in self.__dict__
-            self.__dict__[keyword].set_default(default_value)
+        self._configure("set_default", kwargs)
 
     def set_key_functions(self, **kwargs):
-        for keyword, key_function in kwargs.items():
-            assert keyword in self.__dict__
-            self.__dict__[keyword].set_key_function(key_function)
+        self._configure("set_key_function", kwargs)
 
     human_key_func = staticmethod(human_key_func)
     sort_dict_by_key = staticmethod(sort_dict_by_key)

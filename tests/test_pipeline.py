@@ -248,3 +248,47 @@ def test_split_fastq_entries():
     parts = _split_fastq_entries(entry % 0, 8)
     assert b"".join(parts) == entry % 0
     assert sum(1 for p in parts if p) == 1
+
+
+def test_pwm_stream_job_matches_numpy(tmp_path):
+    """bench config4's streamed whole-job PWM scan == the numpy twin."""
+    import gzip as _gz
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import bench
+    from bionumpy_tpu.io.jaspar import read_jaspar_matrix
+
+    member = open(BIG_FQ, "rb").read()
+    path = tmp_path / "multi.fq.gz"
+    path.write_bytes(member * 3)
+    pwm = read_jaspar_matrix(
+        "/root/reference/example_data/MA0080.1.jaspar")
+    m32 = pwm.matrix.astype(np.float32)
+    rows, offs, n_matches, n_bases, n_reads = bench.pwm_stream_job(
+        str(path), m32, 6.0, target_bases=150_000)
+    assert n_reads == 3000 and n_bases == 3 * 217598
+    exp_rows, exp_offs = bench.numpy_pwm_job([member] * 3, m32, 6.0)
+    assert n_matches == len(exp_rows) > 0
+    got = np.lexsort((offs, rows))
+    exp = np.lexsort((exp_offs, exp_rows))
+    assert np.array_equal(rows[got], exp_rows[exp])
+    assert np.array_equal(offs[got], exp_offs[exp])
+
+
+def test_count_minimizers_matches_numpy_job():
+    """bench config3's sparse table == the independent numpy twin."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import bench
+    import bionumpy_tpu as bnp
+    from bionumpy_tpu.sequence import count_minimizers
+
+    rng = np.random.default_rng(5)
+    lengths = np.array([500, 37, 80, 1000])
+    flat = rng.integers(0, 4, lengths.sum()).astype(np.uint8)
+    seqs = bnp.EncodedRaggedArray(
+        bnp.EncodedArray(flat, bnp.DNAEncoding), lengths)
+    tbl = count_minimizers(seqs, 21, 30)
+    exp_h, exp_c = bench.numpy_minimizer_job(flat, lengths, 21, 10)
+    assert np.array_equal(tbl.label_codes, exp_h)
+    assert np.array_equal(tbl.counts, exp_c)
