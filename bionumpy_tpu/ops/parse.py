@@ -151,6 +151,11 @@ def fastq_to_sparse_kmer_table(raw: jnp.ndarray, encode_lut: jnp.ndarray,
     base_marks = base_marks.at[seq_ends].add(-1)
     in_seq = jnp.cumsum(base_marks[:-1]) > 0
     bad = invalid_byte & in_seq
+    # a non-ACGT byte inside a sequence is a hard error, matching the
+    # host parser (native.fastq_parse_pack raises ValueError) — without
+    # this the two transports would return different counts on
+    # N-containing input instead of failing loudly (ADVICE r2)
+    ok = ok & ~bad.any()
     bad_cum = jnp.concatenate([jnp.zeros(1, jnp.int32),
                                jnp.cumsum(bad.astype(jnp.int32))])
     window_bad = (bad_cum[jnp.minimum(jnp.arange(n) + k, n)] -

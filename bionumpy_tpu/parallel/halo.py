@@ -36,12 +36,24 @@ def _halo_len(window_size: int) -> int:
     return ((need + WORD_BASES - 1) // WORD_BASES) * WORD_BASES
 
 
-def shard_long_sequence(codes: np.ndarray, n_shards: int):
+def shard_long_sequence(codes: np.ndarray, n_shards: int,
+                        window_size: int = None):
     """Host-side: pad one flat code vector to (n_shards, L) with L a
-    multiple of 16.  Returns (blocks, n_true)."""
+    multiple of 16.  Returns (blocks, n_true).
+
+    Pass `window_size` to enforce L >= halo: a shard shorter than the
+    halo would receive too few bases from its successor and windows
+    spanning MORE than one shard boundary would silently hash over
+    missing data (ADVICE r2; only reachable with tiny inputs on wide
+    meshes)."""
     n = len(codes)
     per = -(-n // n_shards)
     per = ((per + WORD_BASES - 1) // WORD_BASES) * WORD_BASES
+    if window_size is not None and per < _halo_len(window_size):
+        raise ValueError(
+            f"per-shard length {per} is smaller than the "
+            f"{_halo_len(window_size)}-base halo for window size "
+            f"{window_size}: use fewer shards for this input")
     blocks = np.zeros((n_shards, per), dtype=np.uint8)
     flat = blocks.reshape(-1)
     flat[:n] = codes
@@ -71,6 +83,9 @@ def sharded_kmer_hash_step(mesh: Mesh, k: int):
     def step(codes_b, n_true):
         codes = codes_b[0]
         L = codes.shape[0]
+        if L < halo:  # trace-time shape check (ADVICE r2)
+            raise ValueError(
+                f"shard length {L} < halo {halo}: fewer shards needed")
         recv = jax.lax.ppermute(codes[:halo], "dp", perm)
         lo, hi = _extended_limbs(codes, recv, k, halo)
         lo, hi = lo[:L], hi[:L]
@@ -98,6 +113,9 @@ def sharded_minimizer_step(mesh: Mesh, k: int, window_size: int):
     def step(codes_b, n_true):
         codes = codes_b[0]
         L = codes.shape[0]
+        if L < halo:  # trace-time shape check (ADVICE r2)
+            raise ValueError(
+                f"shard length {L} < halo {halo}: fewer shards needed")
         recv = jax.lax.ppermute(codes[:halo], "dp", perm)
         lo, hi = _extended_limbs(codes, recv, k, halo)
         span = 1

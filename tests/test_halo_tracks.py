@@ -143,3 +143,14 @@ def test_count_minimizers_matches_materialized(genome_codes):
     # tiny cap exercises the retry loop
     table2 = count_minimizers(seqs, k, w, cap=8)
     np.testing.assert_array_equal(table2.counts, exp_c)
+
+
+def test_halo_guard_rejects_tiny_shards():
+    """Shards shorter than the halo are rejected instead of hashing
+    over missing data (ADVICE r2)."""
+    import pytest
+    from bionumpy_tpu.parallel.halo import (shard_long_sequence,
+                                            sharded_minimizer_step)
+    codes = np.zeros(64, np.uint8)  # 8 bases/shard on 8 shards
+    with pytest.raises(ValueError, match="halo"):
+        shard_long_sequence(codes, 8, window_size=31)

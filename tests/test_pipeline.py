@@ -292,3 +292,16 @@ def test_count_minimizers_matches_numpy_job():
     exp_h, exp_c = bench.numpy_minimizer_job(flat, lengths, 21, 10)
     assert np.array_equal(tbl.label_codes, exp_h)
     assert np.array_equal(tbl.counts, exp_c)
+
+
+def test_device_parse_rejects_non_acgt(tmp_path):
+    """Both transports fail loudly on N-containing FASTQ (ADVICE r2:
+    device-parse used to silently drop N-containing windows)."""
+    raw = b"@r\nACGTNACGTACGTACGTACGTACGTACGTACGTACGT\n+\n" + \
+        b"I" * 37 + b"\n"
+    path = tmp_path / "n.fq"
+    path.write_bytes(raw)
+    with pytest.raises(ValueError):
+        count_kmers_fastq(str(path), 31, device_parse=True)
+    with pytest.raises(ValueError):
+        count_kmers_fastq(str(path), 31, device_parse=False)
