@@ -30,16 +30,16 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 import numpy as np
 
 K = 31
-REPLICATION = 512   # 512 gzip members x 1000 reads = 111.4M bases/job
-N_VARIANTS = 64     # diverse members: 64 mutated variants x 8 copies
+REPLICATION = 2048  # 2048 gzip members x 1000 reads = 446M bases/job
+N_VARIANTS = 64     # diverse members: 64 mutated variants x 32 copies
 MUTATION_RATE = 0.01
 WARMUP_ITERS = 1
 TIMED_ITERS = 3
 BASELINE_MEMBERS = 8  # config-1 numpy baseline measures this, scales up
 FASTQ = "/root/reference/example_data/big.fq.gz"
-BENCH_FILE = "/tmp/bionumpy_bench_big512.fq.gz"
-DIVERSE_FILE = "/tmp/bionumpy_bench_div512.fq.gz"
-DIVERSE_EXPECTED = "/tmp/bionumpy_bench_div512_expected.npz"
+BENCH_FILE = "/tmp/bionumpy_bench_big2048.fq.gz"
+DIVERSE_FILE = "/tmp/bionumpy_bench_div2048.fq.gz"
+DIVERSE_EXPECTED = "/tmp/bionumpy_bench_div2048_expected.npz"
 
 
 def numpy_reference_hashes(codes: np.ndarray, k: int) -> np.ndarray:
@@ -370,14 +370,27 @@ def numpy_pwm_job(members, matrix32, threshold):
     return np.concatenate(rows_all), np.concatenate(offs_all)
 
 
+PWM_MEMBERS = 512  # config 4 scans the first quarter of the bench file
+
+
 def config4():
     """JASPAR MA0080.1 PWM scan as a whole job: gzip FASTQ file-in to
     exact match positions out (config 4; reference protocol times the
     file-to-output job, benchmarks/config.yml)."""
     from bionumpy_tpu.io.jaspar import read_jaspar_matrix
+    from bionumpy_tpu.io.pgzip import member_offsets
 
     member = open(FASTQ, "rb").read()
     _ensure_diverse_file(member)
+    # the PWM job streams the first PWM_MEMBERS members (variant-grouped
+    # prefix, so the copy structure stays exact)
+    pwm_file = DIVERSE_FILE + f".first{PWM_MEMBERS}"
+    if not os.path.exists(pwm_file):
+        data = open(DIVERSE_FILE, "rb").read()
+        cut = int(member_offsets(data)[PWM_MEMBERS])
+        with open(pwm_file + ".tmp", "wb") as f:
+            f.write(data[:cut])
+        os.replace(pwm_file + ".tmp", pwm_file)
     pwm = read_jaspar_matrix(
         "/root/reference/example_data/MA0080.1.jaspar")
     matrix32 = pwm.matrix.astype(np.float32)
@@ -385,13 +398,13 @@ def config4():
 
     compiles = CompileCounter()
     rows, offs, n_matches, n_bases, n_reads = pwm_stream_job(
-        DIVERSE_FILE, matrix32, threshold)  # warmup + compile
+        pwm_file, matrix32, threshold)  # warmup + compile
     times = []
     extra = 3
     while len(times) < TIMED_ITERS:
         t0 = time.perf_counter()
         rows, offs, n_matches, n_bases, n_reads = pwm_stream_job(
-            DIVERSE_FILE, matrix32, threshold)
+            pwm_file, matrix32, threshold)
         dt = time.perf_counter() - t0
         if compiles.take() and extra > 0:
             extra -= 1
@@ -401,9 +414,11 @@ def config4():
 
     # exactness: full (read, offset) multiset vs the numpy twin on the
     # unique variants, expanded to the copy structure of the file
-    uniq = _diverse_members()[:: REPLICATION // N_VARIANTS]
-    exp_rows, exp_offs = numpy_pwm_job(uniq, matrix32, threshold)
     copies = REPLICATION // N_VARIANTS
+    n_var = PWM_MEMBERS // copies
+    uniq = _diverse_members()[:PWM_MEMBERS: copies]
+    assert len(uniq) == n_var
+    exp_rows, exp_offs = numpy_pwm_job(uniq, matrix32, threshold)
     variant = exp_rows // 1000
     within = exp_rows % 1000
     rep_rows = np.concatenate(
@@ -421,7 +436,7 @@ def config4():
         numpy_pwm_job(_diverse_members()[:BASELINE_MEMBERS], matrix32,
                       threshold)
         base_times.append((time.perf_counter() - t0)
-                          * (REPLICATION / BASELINE_MEMBERS))
+                          * (PWM_MEMBERS / BASELINE_MEMBERS))
     t_base = min(base_times)
     _emit(f"config4 PWM MA0080.1 whole-job scan, gzip file-in to exact "
           f"match positions out ({n_bases / 1e6:.0f} Mbases, "
@@ -561,14 +576,23 @@ def _ensure_diverse_file(member: bytes):
             dist = np.repeat(ends, lengths) - np.arange(len(codes))
             h, c = np.unique(hashes[dist >= K], return_counts=True)
             tables.append((h, c * copies))
-    all_h = np.concatenate([t[0] for t in tables])
-    all_c = np.concatenate([t[1] for t in tables])
-    order = np.argsort(all_h, kind="stable")
-    all_h, all_c = all_h[order], all_c[order]
-    keep = np.flatnonzero(np.concatenate([[True],
-                                          all_h[1:] != all_h[:-1]]))
-    np.savez(DIVERSE_EXPECTED, hashes=all_h[keep],
-             counts=np.add.reduceat(all_c, keep))
+
+    def merged(parts):
+        all_h = np.concatenate([t[0] for t in parts])
+        all_c = np.concatenate([t[1] for t in parts])
+        order = np.argsort(all_h, kind="stable")
+        all_h, all_c = all_h[order], all_c[order]
+        keep = np.flatnonzero(np.concatenate([[True],
+                                              all_h[1:] != all_h[:-1]]))
+        return all_h[keep], np.add.reduceat(all_c, keep)
+
+    # the file is variant-grouped, so its first half is exactly the
+    # first N_VARIANTS//2 variants — the half-file expected table the
+    # baseline timing run validates against
+    h, c = merged(tables)
+    hh, hc = merged(tables[: N_VARIANTS // 2])
+    np.savez(DIVERSE_EXPECTED, hashes=h, counts=c,
+             hashes_half=hh, counts_half=hc)
     os.replace(DIVERSE_FILE + ".tmp", DIVERSE_FILE)
 
 
@@ -580,21 +604,25 @@ def main():
     from bionumpy_tpu import instrument
     from bionumpy_tpu.pipeline import count_kmers_fastq
 
-    # --- single-core numpy baseline: the SAME whole job, full size -----
+    # --- single-core numpy baseline: the SAME whole job ---------------
     # measured FIRST (this host throttles under sustained load, so the
-    # later slot would penalize whoever runs there) and min-of-2.
-    # Scaling from a member subset would understate the super-linear
-    # final merge; the per-chunk left fold the reference's
-    # @streamable(sum) implies is slower still on this input.
+    # later slot would penalize whoever runs there) and min-of-2 on the
+    # HALF file, scaled 2x: per-member work is identical across copies,
+    # and extrapolating the 2048-table final merge from the measured
+    # 1024-table merge UNDERSTATES the baseline's super-linear merge —
+    # vs_baseline is therefore conservative.  (The per-chunk left fold
+    # the reference's @streamable(sum) implies is slower still.)
     exp = np.load(DIVERSE_EXPECTED)
     raw_members = _diverse_members()
+    half = raw_members[: len(raw_members) // 2]
     t_base = 9e9
     for _ in range(2):
         t0 = time.perf_counter()
-        base_h, base_c = numpy_whole_job(raw_members, K)
+        base_h, base_c = numpy_whole_job(half, K)
         t_base = min(t_base, time.perf_counter() - t0)
-    assert np.array_equal(base_h, exp["hashes"])
-    assert np.array_equal(base_c, exp["counts"])
+    assert np.array_equal(base_h, exp["hashes_half"])
+    assert np.array_equal(base_c, exp["counts_half"])
+    t_base *= 2
 
     cap = 1 << 21  # ~1M distinct kmers per device batch on this input
     # --- timed end-to-end runs ----------------------------------------
@@ -651,7 +679,8 @@ def main():
                   f"{stats['n_bases'] / 1e6:.0f} Mbases, "
                   f"{len(exp['hashes']) / 1e6:.1f}M distinct kmers, "
                   f"{read_rate:.0f} reads/s; split: {split}; numpy "
-                  f"1-core same job {t_base:.1f}s)",
+                  f"1-core same job {t_base:.1f}s = 2x measured "
+                  f"half-job min-of-2)",
         "value": round(kmer_rate / 1e6, 2),
         "unit": "Mkmers/s",
         "vs_baseline": round(t_base / t_job, 2),

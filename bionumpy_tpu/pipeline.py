@@ -408,12 +408,19 @@ def count_kmers_fastq(path: str, k: int = 31, cap: int = 1 << 20,
     acc_nu = None  # device scalar: distinct rows after the last fold
 
     def fold_pending(force=False):
-        """Fold exactly ACC_FOLD pending tables into the accumulator
-        (padding with cached sentinel tables when force=True)."""
+        """Fold pending tables into the accumulator.  Mid-stream folds
+        run at the pinned ACC_FOLD arity; the force=True tail uses the
+        smallest power-of-two arity that covers what's left (each arity
+        is its own once-compiled program — jit retraces on tuple
+        length), so the exposed end-of-stream fold sorts
+        acc_cap + next_pow2(r)*cap rows instead of always
+        acc_cap + ACC_FOLD*cap."""
         nonlocal acc, acc_nu
         while len(pending) >= ACC_FOLD or (force and pending):
             batch, rest = pending[:ACC_FOLD], pending[ACC_FOLD:]
-            while len(batch) < ACC_FOLD:
+            arity = ACC_FOLD if not force or rest else \
+                1 << (len(batch) - 1).bit_length()
+            while len(batch) < arity:
                 batch.append(_sentinel_table(cap, device))
             with stage("device-fold"):
                 acc, acc_nu = fold_program(acc, tuple(batch), acc_cap)
@@ -485,7 +492,10 @@ def count_kmers_fastq(path: str, k: int = 31, cap: int = 1 << 20,
             padded, n_true = payload
             table, meta = count_device_parse(padded, n_true, cap)
             inflight.append((meta, table, (padded, n_true), mode))
-        if len(inflight) > 1:
+        # resolve with a few batches of lag: the meta fetch blocks until
+        # that batch's count completes, so deeper lag keeps the device
+        # queue full instead of syncing after every dispatch
+        while len(inflight) > 3:
             resolve_one()
 
     def prep(mode, raw):
@@ -558,9 +568,13 @@ _FETCH_QUANTUM = 1 << 18
 
 
 def _fetch_acc(acc, acc_cap: int, nu_dev=None):
-    """D2H the accumulator's live rows in ONE quantum-rounded slice.
-    `nu_dev` is the device scalar the fold program returned; when None
-    (no fold ran) the live count is probed from a small prefix."""
+    """D2H the accumulator's live rows in ONE quantum-rounded transfer,
+    delta-compressed to 8 B/row on device (ops/fetch_pack; raw 12 B/row
+    fallback if the data defeats the 48-bit-delta bound).  `nu_dev` is
+    the device scalar the fold program returned; when None (no fold
+    ran) the live count is probed from a small prefix."""
+    from .ops.fetch_pack import (HEAD, pack_sorted_table,
+                                 unpack_sorted_table)
     if nu_dev is not None:
         nu = int(np.asarray(nu_dev))
     else:
@@ -574,6 +588,14 @@ def _fetch_acc(acc, acc_cap: int, nu_dev=None):
             f"raise acc_cap")
     q = _FETCH_QUANTUM
     n_fetch = min(max(4096, (nu + q - 1) // q * q), acc_cap)
+    if nu_dev is None:
+        import jax.numpy as jnp
+        nu_dev = jnp.int32(nu)
+    slab = np.asarray(pack_sorted_table(acc, nu_dev)[:, :HEAD + n_fetch])
+    out = unpack_sorted_table(slab)
+    if out is not None:
+        return out
+    # exception block overflowed: raw 12 B/row fetch
     t = np.asarray(acc[:, :n_fetch])
     hashes = (t[0, :nu].astype(np.uint64) |
               (t[1, :nu].astype(np.uint64) << np.uint64(32)))
