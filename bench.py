@@ -143,7 +143,7 @@ def config1():
     import jax
     from concurrent.futures import ThreadPoolExecutor
     from bionumpy_tpu.ops.seq import composition_from_packed
-    from bionumpy_tpu.pipeline import (_batch_raw_bytes, _parse_batch,
+    from bionumpy_tpu.pipeline import (_batch_arrays, _parse_batch,
                                        _prefetched)
 
     member = open(FASTQ, "rb").read()
@@ -156,7 +156,7 @@ def config1():
         pending = None
         n_bases = n_reads = 0
         try:
-            for raw in _prefetched(_batch_raw_bytes(
+            for raw in _prefetched(_batch_arrays(
                     BENCH_FILE, (1 << 25) - (1 << 21), pool)):
                 words, ends, nb, nr = _parse_batch(raw)
                 words_d = jax.device_put(words, device)
@@ -299,7 +299,7 @@ def pwm_stream_job(path, matrix32, threshold, cap=1 << 20,
     from concurrent.futures import ThreadPoolExecutor
     from bionumpy_tpu.ops.device import bucket_size
     from bionumpy_tpu.ops.pwm import pwm_match_compact, pwm_scores_packed
-    from bionumpy_tpu.pipeline import (_batch_raw_bytes, _parse_batch,
+    from bionumpy_tpu.pipeline import (_batch_arrays, _parse_batch,
                                        _prefetched)
     device = jax.devices()[0]
     matrix_d = jax.device_put(matrix32, device)
@@ -323,8 +323,8 @@ def pwm_stream_job(path, matrix32, threshold, cap=1 << 20,
         n_matches += nm
 
     try:
-        for raw in _prefetched(_batch_raw_bytes(path, target_bases,
-                                                pool)):
+        for raw in _prefetched(_batch_arrays(path, target_bases,
+                                             pool)):
             words, ends, nb, nr = _parse_batch(raw)
             words_d = jax.device_put(words, device)
             ends_d = jax.device_put(ends, device)

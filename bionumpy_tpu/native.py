@@ -71,6 +71,10 @@ def _load():
     lib.gzip_inflate_all.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_long, ctypes.c_int]
+    lib.count_byte.restype = ctypes.c_long
+    lib.count_byte.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_long, ctypes.c_uint8,
+        ctypes.c_int]
     _lib = lib
     return _lib
 
@@ -308,6 +312,41 @@ def gzip_inflate(data, verify: bool = True, size_hint: int = None):
         if res == -3:
             raise zlib.error("native inflate: CRC/length mismatch")
         raise zlib.error("native inflate: malformed gzip stream")
+
+
+def count_byte(buf: np.ndarray, value: int, n_threads: int = None) -> int:
+    """Occurrences of `value` in a contiguous uint8 buffer at memchr
+    speed (bytes.count for ndarrays without the tobytes copy)."""
+    lib = _load()
+    buf = np.ascontiguousarray(buf, dtype=np.uint8)
+    if lib is None:
+        return int(np.count_nonzero(buf == value))
+    if n_threads is None:
+        n_threads = min(4, os.cpu_count() or 1)
+    return int(lib.count_byte(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(buf),
+        value, n_threads))
+
+
+def gzip_inflate_into(data: bytes, start: int, end: int,
+                      out: np.ndarray, out_off: int, expect: int) -> bool:
+    """Inflate the gzip member in data[start:end] DIRECTLY into
+    out[out_off : out_off + expect] (no intermediate bytes object).
+
+    Returns True iff inflation succeeded, produced exactly `expect`
+    bytes, and the CRC verified; False on any mismatch or when the
+    native library is missing (callers fall back to a copying path).
+    Safe to call concurrently for disjoint output ranges."""
+    lib = _load()
+    if lib is None:
+        return False
+    base = np.frombuffer(data, np.uint8).ctypes.data  # zero-copy view
+    src = ctypes.cast(ctypes.c_void_p(base + start),
+                      ctypes.POINTER(ctypes.c_uint8))
+    dst = ctypes.cast(ctypes.c_void_p(out.ctypes.data + out_off),
+                      ctypes.POINTER(ctypes.c_uint8))
+    res = lib.gzip_inflate_all(src, end - start, dst, expect, 1)
+    return res == expect
 
 
 def pack_2bit(codes: np.ndarray) -> np.ndarray:

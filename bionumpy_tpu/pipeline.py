@@ -66,10 +66,19 @@ def _inflated_parts(path: str, pool: ThreadPoolExecutor) -> Iterator[bytes]:
         for i in range(0, len(data), _PART_BYTES):
             yield data[i: i + _PART_BYTES]
         return
-    from .io.pgzip import _inflate_segment, inflate_members, member_offsets
     with stage("read"):
         with open(path, "rb") as f:
             data = f.read()
+    yield from _inflated_parts_from(data, pool)
+
+
+def _inflated_parts_from(data: bytes, pool: ThreadPoolExecutor,
+                         start: int = 0) -> Iterator[bytes]:
+    """Stream inflated members of data[start:] with a bounded look-ahead
+    window on the pool (the repairing generic path)."""
+    from .io.pgzip import _inflate_segment, inflate_members, member_offsets
+    if start:
+        data = data[start:]
     offsets = member_offsets(data)
     if len(offsets) < 2:
         with stage("inflate", n_bytes=len(data)):
@@ -154,10 +163,18 @@ def _batch_raw_bytes(path: str, target_bases: int,
     semantics of the reference reader, bionumpy/io/parser.py:160-165).
     The bases-per-raw-byte ratio is measured on the first part so
     batches fill their device bucket instead of padding ~30% of it."""
+    return _batches_from_parts(_inflated_parts(path, pool), target_bases)
+
+
+def _batches_from_parts(parts_iter: Iterator[bytes],
+                        target_bases: int) -> Iterator[bytes]:
+    """The generic accumulate/cut batching over any inflated-part
+    stream (used directly for non-member files and as the fallback
+    tail of the member-table fast path)."""
     parts, nl_counts = [], []
     total_bytes = 0
     target_raw = None
-    for part in _inflated_parts(path, pool):
+    for part in parts_iter:
         if not part:
             continue
         parts.append(part)
@@ -178,6 +195,184 @@ def _batch_raw_bytes(path: str, target_bases: int,
         if joined.count(b"\n") % 4:
             raise ValueError("truncated FASTQ: incomplete final entry")
         yield joined
+
+
+def _member_table(data: bytes):
+    """(compressed bounds int64 (n+1,), raw sizes int64 (n,)) for a
+    multi-member gzip byte string, from the ISIZE footer of each
+    candidate member — or None when the file isn't cleanly multi-member
+    (single member, implausible sizes).  Candidates are verified at
+    inflate time; any mismatch falls back to the repairing path."""
+    from .io.pgzip import member_offsets
+    offsets = member_offsets(data)
+    if len(offsets) < 2:
+        return None
+    arr = np.frombuffer(data, np.uint8)
+    bounds = np.append(offsets, len(data))
+    if np.any(np.diff(bounds) < 18):  # minimal gzip member is 18 bytes
+        return None
+    tails = bounds[1:]
+    isz = (arr[tails - 4].astype(np.int64)
+           | (arr[tails - 3].astype(np.int64) << 8)
+           | (arr[tails - 2].astype(np.int64) << 16)
+           | (arr[tails - 1].astype(np.int64) << 24))
+    # implausible expansion or empty members: not a clean member table
+    if np.any(isz <= 0) or int(isz.sum()) > 1000 * len(data) + (1 << 20):
+        return None
+    return bounds, isz
+
+
+def _inflate_member_into(data: bytes, start: int, end: int,
+                         slab: np.ndarray, out_off: int,
+                         expect: int) -> int:
+    """Inflate one member into slab[out_off: out_off+expect]; returns
+    the member's newline count (counted here, in the pool task, while
+    the freshly written bytes are cache-warm — the batcher needs the
+    count for entry-boundary cuts), or -1 if the member did not produce
+    exactly `expect` verified bytes."""
+    from . import native
+    view = slab[out_off: out_off + expect]
+    if native.gzip_inflate_into(data, start, end, slab, out_off, expect):
+        return native.count_byte(view, 10, n_threads=1)
+    # no native library: copying zlib fallback
+    import zlib
+    try:
+        obj = zlib.decompressobj(wbits=31)
+        out = obj.decompress(data[start:end])
+        while not obj.eof:
+            tail = obj.unconsumed_tail
+            if not tail:
+                return -1
+            out += obj.decompress(tail)
+        if obj.unused_data or len(out) != expect:
+            return -1
+    except zlib.error:
+        return -1
+    view[:] = np.frombuffer(out, np.uint8)
+    return out.count(b"\n")
+
+
+# headroom reserved at the front of every slab so the previous batch's
+# partial-entry tail copies in without reallocating; entries larger
+# than this take a rare concatenate fallback
+_SLAB_PAD = 1 << 20
+
+
+def _tail_entry_cut(view: np.ndarray, n_newlines: int) -> int:
+    """Position just past the last complete 4-line entry of `view`,
+    given its total newline count (the backward twin of
+    _entry_boundary, scanning only the tail instead of counting)."""
+    if n_newlines < 4:
+        return 0
+    need = n_newlines % 4 + 1
+    end = len(view)
+    win = 1 << 16
+    while end > 0:
+        lo = max(0, end - win)
+        pos = np.flatnonzero(view[lo:end] == 10)
+        if len(pos) >= need:
+            return int(pos[len(pos) - need]) + lo + 1
+        need -= len(pos)
+        end = lo
+        win *= 2
+    return 0
+
+
+def _batch_arrays(path: str, target_bases: int,
+                  pool: ThreadPoolExecutor):
+    """Fast ingest: yield entry-aligned inflated FASTQ batches as uint8
+    arrays (member-table path) or bytes (generic carry path).
+
+    Multi-member gzip (pigz-style output, the common case for large
+    FASTQ) carries each member's raw size in its ISIZE footer, so the
+    generator can group members into ~target-sized batches and inflate
+    every member IN PARALLEL directly into one preallocated slab per
+    batch — no per-batch byte join and no per-part newline counting
+    (one threaded native count per slab instead), ~2x less host memory
+    traffic than the generic path on a bandwidth-throttled host.
+    Batches still cut on ENTRY boundaries: the partial-entry tail after
+    the last complete entry is copied into the next slab's headroom
+    (members need not be record-aligned).  Any anomaly (false-positive
+    member boundary, ISIZE/CRC mismatch) makes the generator fall back
+    to the generic repairing path for the REMAINDER of the file, so
+    consumers never restart."""
+    if not path.endswith(".gz"):
+        yield from _batch_raw_bytes(path, target_bases, pool)
+        return
+    with stage("read"):
+        with open(path, "rb") as f:
+            data = f.read()
+    tbl = _member_table(data)
+    if tbl is None:
+        yield from _generic_tail(data, 0, target_bases, pool)
+        return
+    bounds, isz = tbl
+    raw_off = np.insert(np.cumsum(isz), 0, 0)
+    n_m = len(isz)
+    # bases-per-raw-byte from member 0 (sizes the member groups so
+    # batches fill their device bucket)
+    first = np.empty(int(isz[0]), np.uint8)
+    if _inflate_member_into(data, int(bounds[0]), int(bounds[1]),
+                            first, 0, int(isz[0])) < 0:
+        yield from _generic_tail(data, 0, target_bases, pool)
+        return
+    frac = max(_seq_fraction(first.tobytes()), 0.05)
+    target_raw = max(int(target_bases / frac), 1 << 16)
+    carry = None   # partial-entry tail of the previous slab (ndarray)
+    carry_nl = 0   # newlines inside carry
+    a = 0
+    while a < n_m:
+        b = int(np.searchsorted(raw_off, raw_off[a] + target_raw,
+                                side="left"))
+        b = min(max(b, a + 1), n_m)
+        size = int(raw_off[b] - raw_off[a])
+        slab = np.empty(_SLAB_PAD + size, np.uint8)
+        base = int(raw_off[a])
+        with stage("inflate", n_bytes=int(bounds[b] - bounds[a])):
+            futs = [pool.submit(
+                _inflate_member_into, data, int(bounds[i]),
+                int(bounds[i + 1]), slab,
+                _SLAB_PAD + int(raw_off[i]) - base,
+                int(isz[i])) for i in range(a, b)]
+            counts = [f.result() for f in futs]
+        if min(counts) < 0:
+            parts = _inflated_parts_from(data, pool, int(bounds[a]))
+            if carry is not None and len(carry):
+                from itertools import chain
+                parts = chain([carry.tobytes()], parts)
+            yield from _batches_from_parts(parts, target_bases)
+            return
+        c_len = len(carry) if carry is not None else 0
+        if c_len > _SLAB_PAD:  # giant entry: rare concatenate fallback
+            slab = np.concatenate([carry, slab[_SLAB_PAD:]])
+            content = slab
+        else:
+            if c_len:
+                slab[_SLAB_PAD - c_len: _SLAB_PAD] = carry
+            content = slab[_SLAB_PAD - c_len:]
+        nl = carry_nl + sum(counts)
+        cut = _tail_entry_cut(content, nl)
+        carry = content[cut:].copy()
+        carry_nl = nl % 4 if cut else nl
+        if cut:
+            yield content[:cut]
+        a = b
+    if carry is not None and len(carry):
+        if carry[-1] != 10:
+            carry = np.append(carry, np.uint8(10))
+            carry_nl += 1
+        if carry_nl % 4:
+            raise ValueError("truncated FASTQ: incomplete final entry")
+        yield carry
+
+
+def _generic_tail(data: bytes, start: int, target_bases: int,
+                  pool: ThreadPoolExecutor) -> Iterator[bytes]:
+    """Generic carry batching over data[start:] with the streaming
+    repairing member inflater (the fallback when the member-table fast
+    path can't be trusted)."""
+    yield from _batches_from_parts(
+        _inflated_parts_from(data, pool, start), target_bases)
 
 
 def _seq_fraction(chunk: bytes) -> float:
@@ -222,22 +417,28 @@ def _prefetched(gen: Iterator, depth: int = 2) -> Iterator:
         yield item
 
 
-def _parse_batch(raw: bytes) -> Tuple[np.ndarray, np.ndarray, int, int]:
-    """(bucketed packed words uint32, ends int32, n_bases, n_reads)."""
+def _parse_batch(raw) -> Tuple[np.ndarray, np.ndarray, int, int]:
+    """(bucketed packed words uint32, ends int32, n_bases, n_reads).
+    `raw` is a complete-entry FASTQ batch: bytes or a uint8 array."""
     from .ops.device import bucket_size
     from .ops.kmers import WORD_BASES
-    if not raw:  # empty shard (mesh path with more devices than data)
-        n_bytes = (1 << 14) // 4 + 2 * (WORD_BASES // 4)
+    pad_words = 2 * (WORD_BASES // 4)
+    if len(raw) == 0:  # empty shard (mesh path, more devices than data)
+        n_bytes = (1 << 14) // 4 + pad_words
         return (np.zeros(n_bytes, np.uint8).view(np.uint32),
                 np.zeros(4096, np.int32), 0, 0)
     with stage("parse+pack", n_bytes=len(raw)):
-        arr = np.frombuffer(raw, np.uint8)
+        arr = raw if isinstance(raw, np.ndarray) \
+            else np.frombuffer(raw, np.uint8)
+        # bases < half the raw bytes (the quality line mirrors the
+        # sequence), so parsing straight into an upper-bound bucket and
+        # slicing to the true one afterwards never copies the packed
+        # words (native zero-fills the whole output)
+        ub_bucket = bucket_size(max(len(arr) // 2, 1), 1 << 14)
         packed, lengths, n_bases = native.fastq_parse_pack(
-            arr, out_bytes=len(arr) // 8 + 16)
+            arr, out_bytes=ub_bucket // 4 + pad_words)
         bucket = bucket_size(max(n_bases, 1), 1 << 14)
-        out = np.zeros(bucket // 4 + 2 * (WORD_BASES // 4), np.uint8)
-        used = (n_bases + 3) // 4
-        out[:used] = packed[:used]
+        out = packed[: bucket // 4 + pad_words]
         ends = np.cumsum(lengths, dtype=np.int64).astype(np.int32)
         # pad the row axis into a power-of-two bucket too (repeating the
         # final end is a no-op for the validity scatters) so every batch
@@ -250,13 +451,15 @@ def _parse_batch(raw: bytes) -> Tuple[np.ndarray, np.ndarray, int, int]:
     return out.view(np.uint32), ends, n_bases, len(lengths)
 
 
-def _pad_raw_batch(raw: bytes):
-    """Device-parse transport: raw bytes zero-padded into a bucket."""
+def _pad_raw_batch(raw):
+    """Device-parse transport: raw bytes (or a uint8 array) zero-padded
+    into a bucket."""
     from .ops.device import bucket_size
     with stage("pad", n_bytes=len(raw)):
         bucket = bucket_size(max(len(raw), 1), 1 << 14)
         padded = np.zeros(bucket, np.uint8)
-        padded[: len(raw)] = np.frombuffer(raw, np.uint8)
+        padded[: len(raw)] = raw if isinstance(raw, np.ndarray) \
+            else np.frombuffer(raw, np.uint8)
     return padded, len(raw)
 
 
@@ -515,7 +718,7 @@ def count_kmers_fastq(path: str, k: int = 31, cap: int = 1 << 20,
 
     batch_times = {}
     try:
-        batches = _prefetched(_batch_raw_bytes(path, target_bases, pool))
+        batches = _prefetched(_batch_arrays(path, target_bases, pool))
         prep_fut = None
         chosen = modes
         i = 0
@@ -673,7 +876,9 @@ def _count_kmers_fastq_mesh(path: str, k: int, cap: int,
     acc_nu = None
     try:
         for raw in _prefetched(
-                _batch_raw_bytes(path, target_bases * n_dev, pool)):
+                _batch_arrays(path, target_bases * n_dev, pool)):
+            if isinstance(raw, np.ndarray):
+                raw = raw.tobytes()
             shards = _split_fastq_entries(raw, n_dev)
             parsed = [_parse_batch(s) for s in shards]
             n_words = max(p[0].shape[0] for p in parsed)
