@@ -218,9 +218,14 @@ def numpy_minimizer_job(flat, lengths, k, n_kmers):
     return np.unique(np.concatenate(mins), return_counts=True)
 
 
+N_STRAINS = 8  # config 3: sacCer3 + 7 mutated strain variants
+
+
 def config3():
     """Whole job: distinct-minimizer (k=21, 10 kmers/window) count table
-    + GC 1000bp track on sacCer3, both consuming ONE device upload;
+    + GC 1000bp track over 8 yeast strain variants (sacCer3 + 7 seeded
+    0.1%-substitution copies, ~97 Mbases — population-scale input like
+    the headline's diverse FASTQ), both consuming ONE device upload;
     exact vs independent numpy (BASELINE config 3)."""
     import bionumpy_tpu as bnp
     from bionumpy_tpu.encodings.alphabet_encoding import ACGTnEncoding
@@ -232,13 +237,22 @@ def config3():
     fa = bnp.open("/root/reference/example_data/sacCer3.fa.gz",
                   buffer_type=bnp.MultiLineFastaBuffer).read()
     seq = bnp.change_encoding(fa.sequence, ACGTnEncoding)
-    flat = np.asarray(seq.ravel().raw()) % 4
-    lengths = np.asarray(seq.lengths)
+    base_flat = np.asarray(seq.ravel().raw()) % 4
+    base_lengths = np.asarray(seq.lengths)
+    strains = [base_flat]
+    for v in range(1, N_STRAINS):
+        rng = np.random.default_rng(2000 + v)
+        mut = base_flat.copy()
+        pos = np.flatnonzero(rng.random(len(mut)) < 0.001)
+        mut[pos] = (mut[pos] + rng.integers(1, 4, len(pos))) % 4
+        strains.append(mut)
+    flat = np.concatenate(strains).astype(np.uint8)
+    lengths = np.tile(base_lengths, N_STRAINS)
     seqs = bnp.EncodedRaggedArray(
         bnp.EncodedArray(flat, bnp.DNAEncoding), lengths)
     n_bases = int(lengths.sum())
     k, w = 21, 30
-    cap = 1 << 23  # sacCer3 has ~2.4M distinct minimizers
+    cap = 1 << 22  # ~3M distinct minimizers across the 8 strains
 
     compiles = CompileCounter()
 
@@ -251,6 +265,7 @@ def config3():
     reset_transfer_counters()
     times = []
     extra = 3
+    n_runs = 0
     while len(times) < TIMED_ITERS:
         if hasattr(seqs, resident._CACHE_ATTR):
             delattr(seqs, resident._CACHE_ATTR)  # re-upload each iter
@@ -258,13 +273,14 @@ def config3():
         tbl, gc = job()
         _ = int(tbl.counts.sum()) + int(gc.sum())
         dt = time.perf_counter() - t0
+        n_runs += 1
         if compiles.take() and extra > 0:
             extra -= 1
             continue
         times.append(dt)
     t = min(times)
-    assert resident.TRANSFER_COUNT == TIMED_ITERS, \
-        resident.TRANSFER_COUNT  # one upload shared by both ops
+    assert resident.TRANSFER_COUNT == n_runs, \
+        (resident.TRANSFER_COUNT, n_runs)  # one upload shared per run
 
     # exactness: full distinct-minimizer table + GC vs independent numpy
     exp_h, exp_c = numpy_minimizer_job(flat, lengths, k, w - k + 1)
@@ -384,7 +400,7 @@ def config4():
     _ensure_diverse_file(member)
     # the PWM job streams the first PWM_MEMBERS members (variant-grouped
     # prefix, so the copy structure stays exact)
-    pwm_file = DIVERSE_FILE + f".first{PWM_MEMBERS}"
+    pwm_file = DIVERSE_FILE + f".first{PWM_MEMBERS}.gz"
     if not os.path.exists(pwm_file):
         data = open(DIVERSE_FILE, "rb").read()
         cut = int(member_offsets(data)[PWM_MEMBERS])
@@ -394,7 +410,10 @@ def config4():
     pwm = read_jaspar_matrix(
         "/root/reference/example_data/MA0080.1.jaspar")
     matrix32 = pwm.matrix.astype(np.float32)
-    threshold = 6.0
+    # MA0080.1's jaspar matrix is log-counts (all-positive columns), so
+    # motif-grade hits sit near the top of the score range: 28.0 keeps
+    # matches rare events (~0.24% of windows), as a motif scan means
+    threshold = 28.0
 
     compiles = CompileCounter()
     rows, offs, n_matches, n_bases, n_reads = pwm_stream_job(

@@ -93,6 +93,22 @@ def pack_sorted_table(acc, nu):
     return jnp.concatenate([exc.reshape(2, HEAD), packed], axis=1)
 
 
+@jax.jit
+def pack_runs_table(table, n_unique, n_valid):
+    """pack_sorted_table for a (3, cap) [lo, hi, run_start] table (the
+    kmer/minimizer count cores' native output): converts run starts to
+    per-run counts on device, then delta-packs — so the host fetch of a
+    distinct-value count table costs 8 B/row instead of 12."""
+    import jax.numpy as jnp
+
+    from .kmers import counts_from_runs
+    cap = table.shape[1]
+    cnt = counts_from_runs(table[2].astype(jnp.int32), n_unique,
+                           n_valid, cap)
+    acc = jnp.stack([table[0], table[1], cnt.astype(jnp.uint32)])
+    return pack_sorted_table(acc, n_unique)
+
+
 def unpack_sorted_table(slab: np.ndarray):
     """Host decode of a pack_sorted_table fetch.
 

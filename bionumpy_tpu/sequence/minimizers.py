@@ -76,7 +76,6 @@ def count_minimizers(sequence, k: int, window_size: int,
     import numpy as _np
 
     from ..encodings.kmer_encodings import KmerEncoding
-    from ..ops.device import bucket_size
     from ..ops.minimizers import minimizer_table_packed
     from ..ops.resident import device_seqs
     from .count_encoded import SparseEncodedCounts
@@ -98,11 +97,26 @@ def count_minimizers(sequence, k: int, window_size: int,
         if n_uni <= cap or cap >= ds.n_positions:
             break
         cap *= 2
-    n_fetch = min(bucket_size(max(n_uni, 1), 4096), int(table.shape[1]))
-    t = _np.asarray(table[:, :n_fetch])
-    hashes = (t[0, :n_uni].astype(_np.uint64) |
-              (t[1, :n_uni].astype(_np.uint64) << _np.uint64(32)))
-    counts = _np.diff(t[2, :n_uni].astype(_np.int64), append=n_val)
+    # delta-packed 8 B/row fetch (ops/fetch_pack), raw 12 B/row fallback;
+    # fetch length rounds to a 256k-row quantum (slice-program reuse)
+    # instead of a power-of-two bucket, which over-fetches up to 2x
+    import jax.numpy as _jnp
+
+    from ..ops.fetch_pack import (HEAD, pack_runs_table,
+                                  unpack_sorted_table)
+    q = 1 << 18
+    n_fetch = min(max(4096, (n_uni + q - 1) // q * q),
+                  int(table.shape[1]))
+    slab = _np.asarray(pack_runs_table(
+        table, _jnp.int32(n_uni), _jnp.int32(n_val))[:, :HEAD + n_fetch])
+    out = unpack_sorted_table(slab)
+    if out is not None:
+        hashes, counts = out
+    else:
+        t = _np.asarray(table[:, :n_fetch])
+        hashes = (t[0, :n_uni].astype(_np.uint64) |
+                  (t[1, :n_uni].astype(_np.uint64) << _np.uint64(32)))
+        counts = _np.diff(t[2, :n_uni].astype(_np.int64), append=n_val)
     return SparseEncodedCounts(KmerEncoding(sequence.encoding, k),
                                hashes, counts)
 
