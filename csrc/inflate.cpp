@@ -20,6 +20,11 @@
 #include <cstdint>
 #include <cstring>
 
+#if defined(__x86_64__)
+#include <cpuid.h>
+#include <immintrin.h>
+#endif
+
 namespace {
 
 constexpr int kRootBits = 10;
@@ -76,11 +81,57 @@ inline uint32_t bit_reverse(uint32_t c, int len) {
     return rev;
 }
 
-// Canonical two-level table build.  Entries:
-//   direct: (total_len << 16) | symbol
-//   link (root only): kLinkBit | (sub_bits << 16) | sub_base
-// Unfilled slots hold kInvalid.  Returns false on over-subscription.
-bool build_table(const uint8_t* lens, int n_syms, HuffTable* t) {
+// Table kinds and PRE-DECODED entry formats.  The hot loop never
+// touches the base/extra side tables: everything a symbol needs is in
+// its 32-bit entry (the libdeflate idea, re-derived):
+//   PLAIN  (code-length table): (total_len << 16) | symbol; kInvalid
+//   LITLEN: literal  kLitBit | (byte << 8) | total_bits
+//           length   (len_base << 16) | (extra_bits << 8) | total_bits
+//           end      kEobBit | total_bits
+//           invalid  0   (also the reserved symbols 286/287)
+//   DIST:   distance (dist_base << 16) | (extra_bits << 8) | total_bits
+//           invalid  0   (also the reserved symbols 30/31)
+//   link (root only, LITLEN/DIST): kLinkBit | (sub_base << 8) | sub_bits
+enum TableKind { KIND_PLAIN, KIND_LITLEN, KIND_DIST };
+
+constexpr uint32_t kLitBit = 0x40000000u;
+constexpr uint32_t kEobBit = 0x20000000u;
+
+const uint16_t kLenBase[29] = {3, 4, 5, 6, 7, 8, 9, 10, 11, 13, 15, 17,
+                               19, 23, 27, 31, 35, 43, 51, 59, 67, 83,
+                               99, 115, 131, 163, 195, 227, 258};
+const uint8_t kLenExtra[29] = {0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2,
+                               2, 2, 3, 3, 3, 3, 4, 4, 4, 4, 5, 5, 5, 5,
+                               0};
+const uint32_t kDistBase[30] = {1, 2, 3, 4, 5, 7, 9, 13, 17, 25, 33, 49,
+                                65, 97, 129, 193, 257, 385, 513, 769,
+                                1025, 1537, 2049, 3073, 4097, 6145, 8193,
+                                12289, 16385, 24577};
+const uint8_t kDistExtra[30] = {0, 0, 0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 5, 5,
+                                6, 6, 7, 7, 8, 8, 9, 9, 10, 10, 11, 11,
+                                12, 12, 13, 13};
+
+inline uint32_t make_entry(TableKind kind, int sym, int total_bits) {
+    if (kind == KIND_PLAIN)
+        return ((uint32_t)total_bits << 16) | (uint32_t)sym;
+    if (kind == KIND_LITLEN) {
+        if (sym < 256)
+            return kLitBit | ((uint32_t)sym << 8) | (uint32_t)total_bits;
+        if (sym == 256) return kEobBit | (uint32_t)total_bits;
+        int i = sym - 257;
+        if (i >= 29) return 0;  // reserved 286/287: invalid if decoded
+        return ((uint32_t)kLenBase[i] << 16) |
+               ((uint32_t)kLenExtra[i] << 8) | (uint32_t)total_bits;
+    }
+    if (sym >= 30) return 0;  // reserved distance symbols
+    return (kDistBase[sym] << 16) | ((uint32_t)kDistExtra[sym] << 8) |
+           (uint32_t)total_bits;
+}
+
+// Canonical two-level table build with per-kind entries (above).
+// Returns false on over-subscription.
+bool build_table(const uint8_t* lens, int n_syms, HuffTable* t,
+                 TableKind kind = KIND_PLAIN) {
     int count[16] = {0};
     for (int i = 0; i < n_syms; ++i) count[lens[i]]++;
     if (count[0] == n_syms) return false;
@@ -96,7 +147,8 @@ bool build_table(const uint8_t* lens, int n_syms, HuffTable* t) {
         code = (code + count[l - 1]) << 1;
         next_code[l] = code;
     }
-    for (int i = 0; i < kRootSize; ++i) t->root[i] = kInvalid;
+    const uint32_t inval = (kind == KIND_PLAIN) ? kInvalid : 0;
+    for (int i = 0; i < kRootSize; ++i) t->root[i] = inval;
     // pass 1: per-root-prefix max code length (for subtable sizing)
     uint8_t prefix_max[kRootSize];
     std::memset(prefix_max, 0, sizeof(prefix_max));
@@ -120,9 +172,9 @@ bool build_table(const uint8_t* lens, int n_syms, HuffTable* t) {
         int sub_bits = prefix_max[pre] - kRootBits;
         int size = 1 << sub_bits;
         if (sub_used + size > kSubCap) return false;
-        t->root[pre] = kLinkBit | ((uint32_t)sub_bits << 16) |
-                       (uint32_t)sub_used;
-        for (int i = 0; i < size; ++i) t->sub[sub_used + i] = kInvalid;
+        t->root[pre] = kLinkBit | ((uint32_t)sub_used << 8) |
+                       (uint32_t)sub_bits;
+        for (int i = 0; i < size; ++i) t->sub[sub_used + i] = inval;
         sub_used += size;
     }
     // pass 2: fill
@@ -130,18 +182,17 @@ bool build_table(const uint8_t* lens, int n_syms, HuffTable* t) {
         int l = lens[sym];
         if (l == 0) continue;
         uint32_t rev = bit_reverse(next_code[l]++, l);
+        uint32_t entry = make_entry(kind, sym, l);
         if (l <= kRootBits) {
-            uint32_t entry = ((uint32_t)l << 16) | (uint32_t)sym;
             for (uint32_t idx = rev; idx < (uint32_t)kRootSize;
                  idx += (1u << l))
                 t->root[idx] = entry;
         } else {
             uint32_t pre = rev & kRootMask;
             uint32_t link = t->root[pre];
-            int sub_bits = (int)((link >> 16) & 0x7F);
-            uint32_t base = link & 0xFFFF;
+            int sub_bits = (int)(link & 0x3F);
+            uint32_t base = (link >> 8) & 0xFFF;
             uint32_t idx2 = rev >> kRootBits;
-            uint32_t entry = ((uint32_t)l << 16) | (uint32_t)sym;
             for (uint32_t i = idx2; i < (1u << sub_bits);
                  i += (1u << (l - kRootBits)))
                 t->sub[base + i] = entry;
@@ -150,33 +201,25 @@ bool build_table(const uint8_t* lens, int n_syms, HuffTable* t) {
     return true;
 }
 
-// decode one symbol; returns symbol or -1 on invalid code. drops bits.
+// decode one PLAIN symbol; returns symbol or -1 on invalid code.
+// (The code-length table only — its codes are <= 7 bits, never linked.)
 inline int decode(const HuffTable& t, BitReader& br) {
     uint32_t e = t.root[br.bits & kRootMask];
-    if (e & kLinkBit) {
-        int sub_bits = (int)((e >> 16) & 0x7F);
-        e = t.sub[(e & 0xFFFF) +
-                  ((br.bits >> kRootBits) & ((1u << sub_bits) - 1))];
-    }
     int len = (int)(e >> 16);
     if (len == 0x7F) return -1;
     br.drop(len);
     return (int)(e & 0xFFFF);
 }
 
-const uint16_t kLenBase[29] = {3, 4, 5, 6, 7, 8, 9, 10, 11, 13, 15, 17,
-                               19, 23, 27, 31, 35, 43, 51, 59, 67, 83,
-                               99, 115, 131, 163, 195, 227, 258};
-const uint8_t kLenExtra[29] = {0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2,
-                               2, 2, 3, 3, 3, 3, 4, 4, 4, 4, 5, 5, 5, 5,
-                               0};
-const uint32_t kDistBase[30] = {1, 2, 3, 4, 5, 7, 9, 13, 17, 25, 33, 49,
-                                65, 97, 129, 193, 257, 385, 513, 769,
-                                1025, 1537, 2049, 3073, 4097, 6145, 8193,
-                                12289, 16385, 24577};
-const uint8_t kDistExtra[30] = {0, 0, 0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 5, 5,
-                                6, 6, 7, 7, 8, 8, 9, 9, 10, 10, 11, 11,
-                                12, 12, 13, 13};
+// one LITLEN/DIST table lookup (resolving a link); drops NO bits —
+// the caller reads total_bits from the entry's low byte.
+inline uint32_t decode_entry(const HuffTable& t, const BitReader& br) {
+    uint32_t e = t.root[br.bits & kRootMask];
+    if (e & kLinkBit)
+        e = t.sub[((e >> 8) & 0xFFF) +
+                  ((br.bits >> kRootBits) & ((1u << (e & 0x3F)) - 1))];
+    return e;
+}
 
 struct Tables {
     HuffTable litlen;
@@ -191,10 +234,10 @@ const Tables& fixed_tables() {
         for (int i = 144; i < 256; ++i) lens[i] = 9;
         for (int i = 256; i < 280; ++i) lens[i] = 7;
         for (int i = 280; i < 288; ++i) lens[i] = 8;
-        build_table(lens, 288, &tt.litlen);
+        build_table(lens, 288, &tt.litlen, KIND_LITLEN);
         uint8_t dlens[30];
         for (int i = 0; i < 30; ++i) dlens[i] = 5;
-        build_table(dlens, 30, &tt.dist);
+        build_table(dlens, 30, &tt.dist, KIND_DIST);
         return tt;
     }();
     return t;
@@ -215,23 +258,115 @@ struct CrcTables {
     }
 };
 
-uint32_t crc32_fast(const uint8_t* p, long n, uint32_t crc) {
-    static const CrcTables ct;
-    crc = ~crc;
+// Table run over bytes from a RAW state (init/final complements are
+// the caller's affair).
+inline uint32_t crc32_table_run(const CrcTables& ct, uint32_t s,
+                                const uint8_t* p, long n) {
     while (n >= 8) {
         uint32_t lo, hi;
         std::memcpy(&lo, p, 4);
         std::memcpy(&hi, p + 4, 4);
-        lo ^= crc;
-        crc = ct.t[7][lo & 0xFF] ^ ct.t[6][(lo >> 8) & 0xFF] ^
-              ct.t[5][(lo >> 16) & 0xFF] ^ ct.t[4][lo >> 24] ^
-              ct.t[3][hi & 0xFF] ^ ct.t[2][(hi >> 8) & 0xFF] ^
-              ct.t[1][(hi >> 16) & 0xFF] ^ ct.t[0][hi >> 24];
+        lo ^= s;
+        s = ct.t[7][lo & 0xFF] ^ ct.t[6][(lo >> 8) & 0xFF] ^
+            ct.t[5][(lo >> 16) & 0xFF] ^ ct.t[4][lo >> 24] ^
+            ct.t[3][hi & 0xFF] ^ ct.t[2][(hi >> 8) & 0xFF] ^
+            ct.t[1][(hi >> 16) & 0xFF] ^ ct.t[0][hi >> 24];
         p += 8;
         n -= 8;
     }
-    while (n-- > 0) crc = ct.t[0][(crc ^ *p++) & 0xFF] ^ (crc >> 8);
-    return ~crc;
+    while (n-- > 0) s = ct.t[0][(s ^ *p++) & 0xFF] ^ (s >> 8);
+    return s;
+}
+
+#if defined(__x86_64__)
+bool has_pclmul() {
+    unsigned a, b, c, d;
+    if (!__get_cpuid(1, &a, &b, &c, &d)) return false;
+    return (c & bit_PCLMUL) && (c & bit_SSE4_1);
+}
+
+// CRC-32 (gzip polynomial, reflected) folding with carry-less
+// multiplies: each step folds a block by distance D bytes using the
+// reflected constants x^(8D+32) and x^(8D-32) mod P (derived and
+// verified against the bitwise model; D=64 inner loop, D=16 merges).
+// Folds `n` = 64 + 16k bytes (seeded with the raw 32-bit state) down
+// to ONE 16-byte residue whose plain table-CRC from state 0 equals the
+// CRC of the whole input — no 128->32 Barrett step needed.
+__attribute__((target("pclmul,sse4.1")))
+void crc32_fold_clmul(const uint8_t* p, long n, uint32_t seed,
+                      uint8_t out16[16]) {
+    const __m128i k64 = _mm_set_epi64x(0x01c6e41596ll,   // x^(512-32)
+                                       0x0154442bd4ll);  // x^(512+32)
+    const __m128i k16 = _mm_set_epi64x(0x0ccaa009ell,    // x^(128-32)
+                                       0x01751997d0ll);  // x^(128+32)
+    __m128i x0 = _mm_loadu_si128((const __m128i*)p);
+    __m128i x1 = _mm_loadu_si128((const __m128i*)(p + 16));
+    __m128i x2 = _mm_loadu_si128((const __m128i*)(p + 32));
+    __m128i x3 = _mm_loadu_si128((const __m128i*)(p + 48));
+    x0 = _mm_xor_si128(x0, _mm_cvtsi32_si128((int)seed));
+    p += 64;
+    n -= 64;
+    while (n >= 64) {
+        __m128i y;
+        y = _mm_clmulepi64_si128(x0, k64, 0x00);
+        x0 = _mm_clmulepi64_si128(x0, k64, 0x11);
+        x0 = _mm_xor_si128(_mm_xor_si128(x0, y),
+                           _mm_loadu_si128((const __m128i*)p));
+        y = _mm_clmulepi64_si128(x1, k64, 0x00);
+        x1 = _mm_clmulepi64_si128(x1, k64, 0x11);
+        x1 = _mm_xor_si128(_mm_xor_si128(x1, y),
+                           _mm_loadu_si128((const __m128i*)(p + 16)));
+        y = _mm_clmulepi64_si128(x2, k64, 0x00);
+        x2 = _mm_clmulepi64_si128(x2, k64, 0x11);
+        x2 = _mm_xor_si128(_mm_xor_si128(x2, y),
+                           _mm_loadu_si128((const __m128i*)(p + 32)));
+        y = _mm_clmulepi64_si128(x3, k64, 0x00);
+        x3 = _mm_clmulepi64_si128(x3, k64, 0x11);
+        x3 = _mm_xor_si128(_mm_xor_si128(x3, y),
+                           _mm_loadu_si128((const __m128i*)(p + 48)));
+        p += 64;
+        n -= 64;
+    }
+    // merge the four lanes (each fold jumps 16 bytes forward)
+    __m128i y;
+    y = _mm_clmulepi64_si128(x0, k16, 0x00);
+    x0 = _mm_clmulepi64_si128(x0, k16, 0x11);
+    x1 = _mm_xor_si128(_mm_xor_si128(x1, y), x0);
+    y = _mm_clmulepi64_si128(x1, k16, 0x00);
+    x1 = _mm_clmulepi64_si128(x1, k16, 0x11);
+    x2 = _mm_xor_si128(_mm_xor_si128(x2, y), x1);
+    y = _mm_clmulepi64_si128(x2, k16, 0x00);
+    x2 = _mm_clmulepi64_si128(x2, k16, 0x11);
+    x3 = _mm_xor_si128(_mm_xor_si128(x3, y), x2);
+    // fold remaining whole 16-byte blocks
+    while (n >= 16) {
+        y = _mm_clmulepi64_si128(x3, k16, 0x00);
+        x3 = _mm_clmulepi64_si128(x3, k16, 0x11);
+        x3 = _mm_xor_si128(_mm_xor_si128(x3, y),
+                           _mm_loadu_si128((const __m128i*)p));
+        p += 16;
+        n -= 16;
+    }
+    _mm_storeu_si128((__m128i*)out16, x3);
+}
+#endif
+
+uint32_t crc32_fast(const uint8_t* p, long n, uint32_t crc) {
+    static const CrcTables ct;
+    uint32_t s = ~crc;
+#if defined(__x86_64__)
+    static const bool use_clmul = has_pclmul();
+    if (use_clmul && n >= 128) {
+        long main_n = 64 + (((n - 64) >> 4) << 4);  // 64 + 16k bytes
+        uint8_t residue[16];
+        crc32_fold_clmul(p, main_n, s, residue);
+        p += main_n;
+        n -= main_n;
+        s = crc32_table_run(ct, 0, residue, 16);
+    }
+#endif
+    s = crc32_table_run(ct, s, p, n);
+    return ~s;
 }
 
 constexpr long ERR_FORMAT = -1;
@@ -311,13 +446,14 @@ long inflate_raw(const uint8_t* in, long in_len, uint8_t* out,
                     }
                 }
                 if (lens[256] == 0) return ERR_FORMAT;
-                if (!build_table(lens, hlit, &dyn.litlen))
+                if (!build_table(lens, hlit, &dyn.litlen, KIND_LITLEN))
                     return ERR_FORMAT;
-                if (!build_table(lens + hlit, hdist, &dyn.dist)) {
+                if (!build_table(lens + hlit, hdist, &dyn.dist,
+                                 KIND_DIST)) {
                     // no distance codes at all: literal-only block;
                     // any match hit must then error
                     for (int i = 0; i < kRootSize; ++i)
-                        dyn.dist.root[i] = kInvalid;
+                        dyn.dist.root[i] = 0;
                 }
                 litlen_tab = &dyn.litlen;
                 dist_tab = &dyn.dist;
@@ -328,55 +464,75 @@ long inflate_raw(const uint8_t* in, long in_len, uint8_t* out,
                 br.refill();
                 if (br.overrun() || (br.nbits <= 0 && br.p >= br.end))
                     return ERR_FORMAT;
-                int sym = decode(lt, br);
-                if (sym < 0) return ERR_FORMAT;
-                if (sym < 256) {
+                uint32_t e = decode_entry(lt, br);
+                if (e & kLitBit) {
                     // fast path: up to two more literals on these bits
-                    // (3 x 15 = 45 <= 56)
+                    // (3 x 15 = 45 <= 56; the entry carries the byte)
+                    br.drop((int)(e & 0x3F));
                     if (o + 3 <= o_end) {
-                        *o++ = (uint8_t)sym;
-                        sym = decode(lt, br);
-                        if (sym < 0) return ERR_FORMAT;
-                        if (sym < 256) {
-                            *o++ = (uint8_t)sym;
-                            sym = decode(lt, br);
-                            if (sym < 0) return ERR_FORMAT;
-                            if (sym < 256) {
-                                *o++ = (uint8_t)sym;
+                        *o++ = (uint8_t)(e >> 8);
+                        e = decode_entry(lt, br);
+                        if (e & kLitBit) {
+                            br.drop((int)(e & 0x3F));
+                            *o++ = (uint8_t)(e >> 8);
+                            e = decode_entry(lt, br);
+                            if (e & kLitBit) {
+                                br.drop((int)(e & 0x3F));
+                                *o++ = (uint8_t)(e >> 8);
                                 continue;
                             }
                         }
-                        // fall through with a non-literal sym
+                        // fall through with a non-literal entry
                     } else {
                         if (o >= o_end) return ERR_OUTPUT_FULL;
-                        *o++ = (uint8_t)sym;
+                        *o++ = (uint8_t)(e >> 8);
                         continue;
                     }
                 }
-                if (sym == 256) break;
-                sym -= 257;
-                if (sym >= 29) return ERR_FORMAT;
-                br.refill();  // the literal fast path may have run low
-                long length = kLenBase[sym] +
-                              (long)br.read(kLenExtra[sym]);
-                int dsym = decode(dt, br);
-                if (dsym < 0 || dsym >= 30) return ERR_FORMAT;
-                long dist = kDistBase[dsym] +
-                            (long)br.read(kDistExtra[dsym]);
-                if (dist > o - out) return ERR_FORMAT;
-                if (o + length > o_end) return ERR_OUTPUT_FULL;
-                const uint8_t* src = o - dist;
-                if (dist >= 8) {
-                    long rem = length;
-                    while (rem >= 8) {
-                        std::memcpy(o, src, 8);
-                        o += 8;
-                        src += 8;
-                        rem -= 8;
+                if (e == 0) return ERR_FORMAT;
+                if (e & kEobBit) {
+                    br.drop((int)(e & 0x3F));
+                    break;
+                }
+                // length entry: base and extra-bit count are inline;
+                // worst case here is 15 code + 5 extra = 20 bits with
+                // >= 26 still buffered after two literals
+                {
+                    int cb = (int)(e & 0x3F);
+                    int ext = (int)((e >> 8) & 0xF);
+                    long length = (long)(e >> 16) +
+                                  (long)((br.bits >> cb) &
+                                         ((1u << ext) - 1));
+                    br.drop(cb + ext);
+                    br.refill();
+                    uint32_t d = decode_entry(dt, br);
+                    if (d == 0) return ERR_FORMAT;
+                    int dcb = (int)(d & 0x3F);
+                    int dext = (int)((d >> 8) & 0xF);
+                    long dist = (long)(d >> 16) +
+                                (long)((br.bits >> dcb) &
+                                       ((1u << dext) - 1));
+                    br.drop(dcb + dext);
+                    if (dist > o - out) return ERR_FORMAT;
+                    if (o + length > o_end) return ERR_OUTPUT_FULL;
+                    const uint8_t* src = o - dist;
+                    uint8_t* stop = o + length;
+                    if (dist >= 8 && o_end - stop >= 8) {
+                        // 8-wise with rounded-up tail: the <=7 bytes
+                        // written past `stop` are scratch that later
+                        // output overwrites (slack checked above)
+                        do {
+                            std::memcpy(o, src, 8);
+                            o += 8;
+                            src += 8;
+                        } while (o < stop);
+                        o = stop;
+                    } else if (dist == 1) {
+                        std::memset(o, o[-1], (size_t)length);
+                        o = stop;
+                    } else {
+                        while (o < stop) *o++ = *src++;
                     }
-                    while (rem--) *o++ = *src++;
-                } else {
-                    for (long i = 0; i < length; ++i) *o++ = *src++;
                 }
             }
             if (br.overrun()) return ERR_FORMAT;
