@@ -1,0 +1,97 @@
+"""Member-table slab ingest (pipeline._batch_arrays): the fast path,
+the pigz-style carry path, and the generic fallback must all yield the
+same entry-aligned content and identical k-mer counts."""
+import gzip
+
+import numpy as np
+import pytest
+
+from concurrent.futures import ThreadPoolExecutor
+
+from bionumpy_tpu.pipeline import (_batch_arrays, _member_table,
+                                   count_kmers_fastq)
+
+BIG = "/root/reference/example_data/big.fq.gz"
+
+
+@pytest.fixture(scope="module")
+def layouts(tmp_path_factory):
+    """One logical FASTQ (5x big.fq) in three gzip layouts."""
+    d = tmp_path_factory.mktemp("ingest")
+    member = open(BIG, "rb").read()
+    full = gzip.decompress(member) * 5
+    multi = d / "multi.fq.gz"          # record-aligned members
+    multi.write_bytes(member * 5)
+    pigz = d / "pigz.fq.gz"            # members cut mid-record (64 KB)
+    with open(pigz, "wb") as f:
+        for i in range(0, len(full), 64 * 1024):
+            f.write(gzip.compress(full[i: i + 64 * 1024], 5, mtime=0))
+    single = d / "single.fq.gz"        # one member: generic path
+    single.write_bytes(gzip.compress(full, 5, mtime=0))
+    return full, {"multi": str(multi), "pigz": str(pigz),
+                  "single": str(single)}
+
+
+@pytest.mark.parametrize("layout", ["multi", "pigz", "single"])
+@pytest.mark.parametrize("target", [1 << 19, 1 << 30])
+def test_batches_are_entry_aligned_and_complete(layouts, layout, target):
+    full, paths = layouts
+    pool = ThreadPoolExecutor(2)
+    out = []
+    try:
+        for b in _batch_arrays(paths[layout], target, pool):
+            arr = b if isinstance(b, np.ndarray) \
+                else np.frombuffer(b, np.uint8)
+            assert arr[-1] == 10
+            assert int((arr == 10).sum()) % 4 == 0
+            out.append(arr.tobytes())
+    finally:
+        pool.shutdown(wait=False)
+    assert b"".join(out) == full
+
+
+def test_counts_identical_across_layouts(layouts):
+    _, paths = layouts
+    tables = []
+    for path in paths.values():
+        counts, stats = count_kmers_fastq(path, 31, cap=1 << 18,
+                                          target_bases=1 << 19,
+                                          device_parse=False)
+        assert stats["n_reads"] == 5000
+        tables.append((counts.label_codes.tolist(),
+                       counts.counts.tolist()))
+    assert tables[0] == tables[1] == tables[2]
+
+
+def test_member_table_reads_isize(layouts):
+    _, paths = layouts
+    data = open(paths["multi"], "rb").read()
+    tbl = _member_table(data)
+    assert tbl is not None
+    bounds, isz = tbl
+    assert len(isz) == 5
+    raw_len = len(gzip.decompress(open(BIG, "rb").read()))
+    assert all(int(s) == raw_len for s in isz)
+    # single-member files have no table
+    assert _member_table(open(paths["single"], "rb").read()) is None
+
+
+def test_corrupt_isize_fails_loudly(layouts, tmp_path):
+    """A corrupted ISIZE footer makes the fast path fall back, and the
+    repairing path then raises (the reference's gzip reader also
+    refuses an ISIZE mismatch) — never silent wrong content."""
+    import zlib
+    _, paths = layouts
+    data = bytearray(open(paths["multi"], "rb").read())
+    tbl = _member_table(bytes(data))
+    first_end = int(tbl[0][1])
+    data[first_end - 4: first_end] = (123456789).to_bytes(4, "little")
+    bad = tmp_path / "bad_isize.fq.gz"
+    bad.write_bytes(bytes(data))
+    pool = ThreadPoolExecutor(2)
+    try:
+        with pytest.raises(zlib.error):
+            for _ in _batch_arrays(str(bad), 1 << 19, pool):
+                pass
+    finally:
+        pool.shutdown(wait=False)
