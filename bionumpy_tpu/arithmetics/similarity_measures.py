@@ -19,6 +19,13 @@ def get_contingency_table(intervals_a, intervals_b, sequence_length):
         [(not_a & boolean_b).sum(), (not_a & not_b).sum()]])
 
 
+def _base_pair_contingency(chromosome_sizes, intervals_a, intervals_b):
+    """2x2 base-pair contingency table of two sorted interval sets,
+    folded over synchronized per-chromosome streams."""
+    ms = MultiStream(chromosome_sizes, a=intervals_a, b=intervals_b)
+    return get_contingency_table(ms.a, ms.b, ms.lengths)
+
+
 def forbes(chromosome_sizes, intervals_a, intervals_b) -> float:
     """Forbes similarity index for two sorted interval sets.
 
@@ -26,22 +33,24 @@ def forbes(chromosome_sizes, intervals_a, intervals_b) -> float:
     --------
     >>> from bionumpy_tpu.arithmetics import forbes, sort_intervals
     >>> from bionumpy_tpu.datatypes import Interval
-    >>> a = Interval.from_entry_tuples([("chr1", 10, 20), ("chr2", 20, 30)])
-    >>> b = Interval.from_entry_tuples([("chr2", 15, 25), ("chr1", 10, 40)])
-    >>> a_sorted = sort_intervals(a, sort_order=["chr1", "chr2"])
-    >>> b_sorted = sort_intervals(b, sort_order=["chr1", "chr2"])
-    >>> forbes({"chr1": 100, "chr2": 200}, a_sorted, b_sorted)
-    5.625
+    >>> x = Interval.from_entry_tuples([("chr1", 0, 10), ("chr2", 5, 15)])
+    >>> y = Interval.from_entry_tuples([("chr2", 0, 10), ("chr1", 5, 20)])
+    >>> order = ["chr1", "chr2"]
+    >>> forbes({"chr1": 50, "chr2": 50},
+    ...        sort_intervals(x, sort_order=order),
+    ...        sort_intervals(y, sort_order=order))
+    2.0
     """
-    ms = MultiStream(chromosome_sizes, a=intervals_a, b=intervals_b)
-    ((a, b), (c, d)) = get_contingency_table(ms.a, ms.b, ms.lengths)
-    total = a + b + c + d
-    return float(a * total / ((a + b) * (a + c)))
+    table = _base_pair_contingency(chromosome_sizes, intervals_a,
+                                   intervals_b)
+    (both, a_only), (b_only, _) = table
+    in_a, in_b = both + a_only, both + b_only
+    return float(both * table.sum() / (in_a * in_b))
 
 
 def jaccard(chromosome_sizes, intervals_a, intervals_b) -> float:
     """Jaccard similarity index for two sorted interval sets."""
-    ms = MultiStream(chromosome_sizes, a=intervals_a, b=intervals_b)
-    ((a, b), (c, d)) = get_contingency_table(ms.a, ms.b, ms.lengths)
-    total = a + b + c + d
-    return float(a / (total - d))
+    table = _base_pair_contingency(chromosome_sizes, intervals_a,
+                                   intervals_b)
+    (both, a_only), (b_only, neither) = table
+    return float(both / (table.sum() - neither))

@@ -6,22 +6,21 @@ from ..datatypes import GTFEntry
 from .genomic_intervals import GenomicIntervalsFull
 
 
+def _id_field(name):
+    """Expose one GTF attribute column of the wrapped intervals."""
+    return property(lambda self: getattr(self._intervals, name))
+
+
 class Genes(GenomicIntervalsFull):
-    @property
-    def gene_id(self):
-        return self._intervals.gene_id
+    gene_id = _id_field("gene_id")
 
 
 class Transcripts(Genes):
-    @property
-    def transcript_id(self):
-        return self._intervals.transcript_id
+    transcript_id = _id_field("transcript_id")
 
 
 class Exons(Transcripts):
-    @property
-    def exon_id(self):
-        return self._intervals.exon_id
+    exon_id = _id_field("exon_id")
 
 
 class GenomicAnnotation:

@@ -89,19 +89,19 @@ class Genome:
         Examples
         --------
         >>> import bionumpy_tpu as bnp
-        >>> intervals = bnp.Interval(chromosome=['chr1', 'chr1', 'chr2'],
-        ...                          start=[0, 10, 0], stop=[5, 15, 5])
-        >>> genome = bnp.Genome.from_dict({'chr1': 20, 'chr2': 10})
-        >>> genome.get_intervals(intervals)
-        Genomic Intervals on ['chr1', 'chr2']:
+        >>> peaks = bnp.Interval(chromosome=['chrA', 'chrA', 'chrB'],
+        ...                      start=[2, 4, 1], stop=[6, 8, 3])
+        >>> genome = bnp.Genome.from_dict({'chrA': 10, 'chrB': 5})
+        >>> genome.get_intervals(peaks)
+        Genomic Intervals on ['chrA', 'chrB']:
         Interval with 3 entries
                        chromosome                    start                     stop
-                             chr1                        0                        5
-                             chr1                       10                       15
-                             chr2                        0                        5
-        >>> genome.get_intervals(intervals).get_pileup()["chr1"]\\
+                             chrA                        2                        6
+                             chrA                        4                        8
+                             chrB                        1                        3
+        >>> genome.get_intervals(peaks).get_pileup()["chrA"]\\
         ...     .to_array().astype(int)
-        array([1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0])
+        array([0, 0, 1, 1, 2, 2, 1, 1, 0, 0])
         """
         # NOTE: never probe stream attributes here — a hasattr() on a
         # one-look-ahead NpDataclassStream consumes a chunk.  from_intervals
@@ -113,16 +113,17 @@ class Genome:
     def read_intervals(self, filename: str, stranded: bool = False,
                        stream: bool = False,
                        buffer_type=None) -> GenomicIntervals:
-        path = PurePath(filename)
-        suffix = path.suffixes[-1]
-        if suffix == ".gz":
-            suffix = path.suffixes[-2]
         if buffer_type is None:
-            buffer_type = buffer_types[suffix]
-            if buffer_type == BedBuffer and stranded:
-                buffer_type = Bed6Buffer
-            if buffer_type == BamBuffer:
-                buffer_type = BamIntervalBuffer
+            from ..io.files import _effective_suffix
+            buffer_type = buffer_types[_effective_suffix(filename)[0]]
+            # interval-producing specializations of the suffix default:
+            # stranded BED needs the 6-column variant, BAM the
+            # cigar-to-interval projection
+            overrides = {(BedBuffer, True): Bed6Buffer,
+                         (BamBuffer, True): BamIntervalBuffer,
+                         (BamBuffer, False): BamIntervalBuffer}
+            buffer_type = overrides.get((buffer_type, stranded),
+                                        buffer_type)
         content = self._open(filename, stream, buffer_type=buffer_type)
         return self.get_intervals(content, stranded)
 

@@ -82,31 +82,40 @@ class BamBufferExtractor:
                             np.arange(n_bytes)]
         return np.ascontiguousarray(window).view(dtype).ravel()
 
-    def _get_read_name_length(self):
-        return self._data[self._starts + 12].astype(np.int64)
-
-    def _get_cigar_bytes(self):
-        return self._get_ints(16, 2, np.uint16).astype(np.int64) * 4
-
     @cached_property
+    def _layout(self):
+        """Per-record variable-section boundaries, all derived in one
+        pass from the fixed 36-byte prefix: (read_name_start,
+        cigar_start, sequence_start, quality_start, l_seq).  The BAM
+        record layout is name\\0 | cigar u32s | 4-bit seq | qual."""
+        name_len = self._data[self._starts + 12].astype(np.int64)
+        cigar_bytes = 4 * self._get_ints(16, 2, np.uint16).astype(np.int64)
+        l_seq = self._get_ints(20, 4, np.int32).astype(np.int64)
+        name_start = self._starts + 36
+        cigar_start = name_start + name_len
+        seq_start = cigar_start + cigar_bytes
+        qual_start = seq_start + (l_seq + 1) // 2
+        return name_start, cigar_start, seq_start, qual_start, l_seq
+
+    @property
     def _read_name_start(self):
-        return self._starts + 36
+        return self._layout[0]
 
-    @cached_property
+    @property
     def _cigar_start(self):
-        return self._read_name_start + self._get_read_name_length()
+        return self._layout[1]
 
-    @cached_property
+    @property
     def _sequence_start(self):
-        return self._cigar_start + self._get_cigar_bytes()
+        return self._layout[2]
 
-    @cached_property
+    @property
     def _quality_start(self):
-        return self._sequence_start + (self._sequence_length + 1) // 2
+        return self._layout[3]
 
-    @cached_property
+    @property
     def _sequence_length(self):
-        return self._get_ints(20, 4, np.int32).astype(np.int64)
+        return self._layout[4]
 
     def _get_chromosome(self):
         ref_id = self._get_ints(4, 4, np.int32)
@@ -222,31 +231,24 @@ class BamHeader:
 
 
 class BamBuffer(FileBuffer):
-    dataclass = BamEntry
     supports_modified_write = False
+    dataclass = BamEntry
 
     def __init__(self, buffer_extractor, header_data=None):
-        self._buffer_extractor = buffer_extractor
-        self._header_data = header_data
         self._is_validated = True
+        self._header_data = header_data
+        self._buffer_extractor = buffer_extractor
 
     def __getitem__(self, idx):
-        return self.__class__(self._buffer_extractor[idx], self._header_data)
+        sliced = self._buffer_extractor[idx]
+        return self.__class__(sliced, self._header_data)
 
     def get_field_range_as_text(self, *args):
         raise NotImplementedError("cannot write BAM with modified values")
 
-    @property
-    def size(self):
-        return self._buffer_extractor.size
-
-    @property
-    def data(self):
-        return self._buffer_extractor.data
-
-    @property
-    def n_lines(self):
-        return len(self._buffer_extractor)
+    n_lines = property(lambda self: len(self._buffer_extractor))
+    size = property(lambda self: self._buffer_extractor.size)
+    data = property(lambda self: self._buffer_extractor.data)
 
     @classmethod
     def read_header(cls, file_object) -> BamHeader:

@@ -235,13 +235,14 @@ class GfaSequenceBuffer(DelimitedBuffer):
         return data
 
     def get_field_by_number(self, field_nr: int, field_type: type = object):
+        # column 0 is the 'S' record-type tag; data fields start at 1
         return super().get_field_by_number(field_nr + 1, field_type)
 
     @classmethod
     def from_data(cls, data: SequenceEntry) -> EncodedArray:
-        return dump_csv([(str, as_encoded_array(["S"] * len(data))),
-                         (str, data.name),
-                         (str, data.sequence)])
+        tags = as_encoded_array(["S"] * len(data))
+        columns = [tags, data.name, data.sequence]
+        return dump_csv([(str, col) for col in columns])
 
 
 class GfaPathBuffer(DelimitedBuffer):
@@ -331,28 +332,14 @@ class BedBuffer(DelimitedBuffer):
     dataclass = Interval
 
 
-class Bed6Buffer(BedBuffer):
-    dataclass = Bed6
-
-
-class Bed12Buffer(Bed6Buffer):
-    dataclass = Bed12
-
-
-class BdgBuffer(BedBuffer):
-    dataclass = BedGraph
-
-
-class NarrowPeakBuffer(DelimitedBuffer):
-    dataclass = NarrowPeak
-
-
-class GTFBuffer(DelimitedBuffer):
-    dataclass = GTFEntry
-
-
-class ChromosomeSizeBuffer(DelimitedBuffer):
-    dataclass = ChromosomeSize
+# trivial per-format specializations: each is DelimitedBuffer (or a BED
+# variant) bound to its record type
+class Bed6Buffer(BedBuffer): dataclass = Bed6                     # noqa: E701
+class Bed12Buffer(Bed6Buffer): dataclass = Bed12                  # noqa: E701
+class BdgBuffer(BedBuffer): dataclass = BedGraph                  # noqa: E701
+class NarrowPeakBuffer(DelimitedBuffer): dataclass = NarrowPeak   # noqa: E701
+class GTFBuffer(DelimitedBuffer): dataclass = GTFEntry            # noqa: E701
+class ChromosomeSizeBuffer(DelimitedBuffer): dataclass = ChromosomeSize  # noqa: E501,E701
 
 
 class DelimitedBufferWithInernalComments(DelimitedBuffer):

@@ -18,15 +18,22 @@ from .one_line_buffer import OneLineBuffer
 
 
 class FastQBuffer(OneLineBuffer):
-    HEADER = "@"
-    n_lines_per_entry = 4
+    """4-line entries: @name / sequence / + / quality; dataclass field 2
+    (quality) lives on text line 3."""
     dataclass = SequenceEntryWithQuality
-    _line_offsets = (1, 0, 0, 0)
-    _empty_lines = [2]
+    n_lines_per_entry = 4
+    _line_offsets = (1, 0, 0, 0)  # the @ is stripped from names
+    _empty_lines = [2]            # '+' separator carries no data
+    HEADER = "@"
+
+    # dataclass field index -> extractor line index (the '+' line is
+    # skipped, so quality is line 3 rather than 2)
+    _FIELD_LINE = {0: 0, 1: 1, 2: 3}
 
     def get_text_field_by_number(self, i: int) -> EncodedRaggedArray:
         if i == 2:
-            return self._buffer_extractor.get_field_by_number(3)
+            return self._buffer_extractor.get_field_by_number(
+                self._FIELD_LINE[i])
         return super().get_text_field_by_number(i)
 
     def get_field_by_number(self, i: int, t: type = None):

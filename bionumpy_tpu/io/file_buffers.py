@@ -284,23 +284,17 @@ class TextBufferExtractor:
 
     def __init__(self, data: EncodedArray, field_starts: np.ndarray,
                  field_ends: np.ndarray = None, field_lens: np.ndarray = None):
-        self._data = data
-        self._field_starts = field_starts
+        # exactly one of field_ends / field_lens describes the extents
+        assert (field_ends is None) != (field_lens is None), \
+            "pass field_ends or field_lens, not both"
         if field_lens is None:
-            assert field_ends is not None
-            self._field_lens = field_ends - field_starts
-        else:
-            assert field_ends is None
-            self._field_lens = field_lens
+            field_lens = field_ends - field_starts
+        self._data = data
+        self._field_starts, self._field_lens = field_starts, field_lens
         self._n_fields = field_starts.shape[1]
 
-    @property
-    def data(self) -> EncodedArray:
-        return self._data
-
-    @property
-    def n_fields(self) -> int:
-        return self._n_fields
+    data = property(lambda self: self._data)
+    n_fields = property(lambda self: self._n_fields)
 
     def __len__(self):
         return len(self._field_starts)

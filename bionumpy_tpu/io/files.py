@@ -24,28 +24,38 @@ from .wig import WigBuffer
 
 logger = logging.getLogger(__name__)
 
-buffer_types = {
-    ".vcf": VCFBuffer,
-    ".bed": BedBuffer,
-    ".bdg": BdgBuffer,
-    ".narrowPeak": NarrowPeakBuffer,
-    ".fasta": MultiLineFastaBuffer,
-    ".fa": MultiLineFastaBuffer,
-    ".fna": MultiLineFastaBuffer,
-    ".faa": MultiLineFastaBuffer,
-    ".fastq": FastQBuffer,
-    ".fq": FastQBuffer,
-    ".gfa": GfaSequenceBuffer,
-    ".gff": GFFBuffer,
-    ".gtf": GTFBuffer,
-    ".gff3": GFFBuffer,
-    ".sam": SAMBuffer,
-    ".bam": BamBuffer,
-    ".sizes": ChromosomeSizeBuffer,
-    ".wig": WigBuffer,
-    ".pairs": PairsBuffer,
-    ".pa5": PairsBuffer,
-}
+# default buffer per format family; formats with several customary
+# extensions list them all (expanded into the flat suffix map below)
+_FORMAT_SUFFIXES = [
+    (MultiLineFastaBuffer, (".fa", ".fasta", ".fna", ".faa")),
+    (FastQBuffer, (".fq", ".fastq")),
+    (BedBuffer, (".bed",)),
+    (BdgBuffer, (".bdg",)),
+    (NarrowPeakBuffer, (".narrowPeak",)),
+    (VCFBuffer, (".vcf",)),
+    (GFFBuffer, (".gff", ".gff3")),
+    (GTFBuffer, (".gtf",)),
+    (GfaSequenceBuffer, (".gfa",)),
+    (SAMBuffer, (".sam",)),
+    (BamBuffer, (".bam",)),
+    (ChromosomeSizeBuffer, (".sizes",)),
+    (WigBuffer, (".wig",)),
+    (PairsBuffer, (".pairs", ".pa5")),
+]
+
+buffer_types = {suffix: buf
+                for buf, suffixes in _FORMAT_SUFFIXES
+                for suffix in suffixes}
+
+
+def _effective_suffix(filename) -> tuple:
+    """(format suffix, is_gzip): strips a trailing .gz; .bam counts as
+    gzip-compressed (BGZF)."""
+    suffixes = PurePath(filename).suffixes
+    last = suffixes[-1]
+    if last == ".gz":
+        return suffixes[-2], True
+    return last, last == ".bam"
 
 
 def _get_buffer_type(suffix: str):
@@ -95,11 +105,7 @@ def bnp_open(filename: str, mode: str = None, buffer_type=None,
                             0                       13                       18
                             0                       37                       46
     """
-    path = PurePath(filename)
-    suffix = path.suffixes[-1]
-    is_gzip = suffix in (".gz", ".bam")
-    if suffix == ".gz":
-        suffix = path.suffixes[-2]
+    suffix, is_gzip = _effective_suffix(filename)
     return _get_buffered_file(filename, suffix, mode, is_gzip=is_gzip,
                               buffer_type=buffer_type, lazy=lazy)
 
@@ -114,11 +120,7 @@ def count_entries(filename: str, buffer_type: FileBuffer = None) -> int:
     1000
     """
     logger.info("Counting entries in %s", filename)
-    path = PurePath(filename)
-    suffix = path.suffixes[-1]
-    is_gzip = suffix in (".gz", ".bam")
-    if suffix == ".gz":
-        suffix = path.suffixes[-2]
+    suffix, is_gzip = _effective_suffix(filename)
     open_func = gzip.open if is_gzip else open
     if buffer_type is None:
         buffer_type = _get_buffer_type(suffix)

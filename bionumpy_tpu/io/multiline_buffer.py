@@ -11,25 +11,22 @@ from .file_buffers import FileBuffer
 
 
 class MultiLineBuffer(FileBuffer):
+    """Base for formats whose entries span a variable number of lines
+    (so the lazy per-field machinery does not apply)."""
     SKIP_LAZY = True
 
 
 class MultiLineFastaBuffer(MultiLineBuffer):
-    _new_entry_marker = ">"
-    n_characters_per_line = 80
     dataclass = SequenceEntry
+    n_characters_per_line = 80
+    _new_entry_marker = ">"
 
     def __init__(self, data, new_lines, new_entries):
-        super().__init__(data, new_lines)
         self._new_entries = new_entries
+        super().__init__(data, new_lines)
 
-    @property
-    def data(self):
-        return self._data
-
-    @property
-    def n_lines(self):
-        return len(self._new_lines)
+    data = property(lambda self: self._data)
+    n_lines = property(lambda self: len(self._new_lines))
 
     @classmethod
     def contains_complete_entry(cls, chunks) -> bool:
@@ -139,6 +136,7 @@ class MultiLineFastaBuffer(MultiLineBuffer):
 
 @bnpdataclass
 class FastaIdx:
+    """One .fai line: the five samtools-faidx columns, in file order."""
     chromosome: str
     length: int
     start: int
@@ -148,6 +146,8 @@ class FastaIdx:
 
 @bnpdataclass
 class FastaIdxBuilder(FastaIdx):
+    """FastaIdx plus the raw buffer size (needed to chain per-chunk
+    index entries into absolute file offsets)."""
     byte_size: int
 
 

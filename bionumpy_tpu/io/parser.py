@@ -82,58 +82,72 @@ class NumpyFileReader:
         return self._buffer_type.from_raw_buffer(
             chunk, header_data=self._header_data)
 
-    def read_chunk(self, min_chunk_size: int = 5_000_000,
-                   max_chunk_size: int = None) -> FileBuffer:
-        complete_entry_found = False
-        temp_chunks = []
-        if len(self._prepend):
-            temp_chunks.append(self._prepend)
-        made_buffer = None
-        while not complete_entry_found:
-            chunk = self._get_buffer(min_chunk_size, max_chunk_size)
-            if chunk is None:
-                if temp_chunks and sum(c.size for c in temp_chunks):
-                    break
-                return None
-            temp_chunks.append(chunk)
-            if max_chunk_size is not None and \
-                    sum(c.size for c in temp_chunks) > max_chunk_size:
+    def _offset_format_errors(self, fn, *args, **kwargs):
+        """Run a buffer-type parse callback, shifting any
+        FormatException's line number by the lines already consumed so
+        error messages point into the FILE, not the chunk."""
+        try:
+            return fn(*args, **kwargs)
+        except FormatException as e:
+            e.line_number += self.n_lines_read
+            raise
+
+    def _grow_until_complete(self, min_chunk_size, max_chunk_size):
+        """Accumulate raw pieces (starting from any carried-over tail)
+        until the buffer type sees >= 1 complete entry.  Returns
+        (pieces, premade_buffer_or_None); pieces == [] means EOF with
+        nothing left."""
+        pieces = [self._prepend] if len(self._prepend) else []
+        premade = None
+        total = sum(p.size for p in pieces)
+        while True:
+            piece = self._get_buffer(min_chunk_size, max_chunk_size)
+            if piece is None:
+                # EOF: whatever we carry is the final (partial) chunk
+                return (pieces if total else []), premade
+            pieces.append(piece)
+            total += piece.size
+            if max_chunk_size is not None and total > max_chunk_size:
                 raise RuntimeError("No complete entry found within "
                                    "max_chunk_size")
-            try:
-                complete_entry_found = \
-                    self._buffer_type.contains_complete_entry(temp_chunks)
-            except FormatException as e:
-                e.line_number += self.n_lines_read
-                raise e
-            if isinstance(complete_entry_found, tuple):
-                complete_entry_found, made_buffer = complete_entry_found
+            found = self._offset_format_errors(
+                self._buffer_type.contains_complete_entry, pieces)
+            if isinstance(found, tuple):
+                found, premade = found
+            if found:
+                return pieces, premade
 
-        if made_buffer is not None and len(temp_chunks) == 1:
-            buff = made_buffer
-            chunk = temp_chunks[0]
+    def read_chunk(self, min_chunk_size: int = 5_000_000,
+                   max_chunk_size: int = None) -> FileBuffer:
+        pieces, premade = self._grow_until_complete(min_chunk_size,
+                                                    max_chunk_size)
+        if not pieces:
+            return None
+        one_piece = len(pieces) == 1
+        chunk = pieces[0] if one_piece else np.concatenate(pieces)
+        if premade is not None and one_piece:
+            buff = premade
         else:
-            chunk = temp_chunks[0] if len(temp_chunks) == 1 \
-                else np.concatenate(temp_chunks)
-            try:
-                buff = self._buffer_type.from_raw_buffer(
-                    chunk, header_data=self._header_data)
-            except FormatException as e:
-                e.line_number += self.n_lines_read
-                raise e
+            buff = self._offset_format_errors(
+                self._buffer_type.from_raw_buffer, chunk,
+                header_data=self._header_data)
+        self._stash_unconsumed(chunk, buff.size)
+        if not chunk.size:
+            return None
+        self.n_bytes_read += buff.size
+        self.n_lines_read += buff.n_lines
+        return buff
 
+    def _stash_unconsumed(self, chunk, n_consumed: int):
+        """Return the bytes past the last complete entry to the source:
+        seek back for plain files, carry forward for gzip streams."""
         self._prepend = []
-        if not self._is_finished:
-            if not self._do_prepend:
-                self._file_obj.seek(buff.size - chunk.size, 1)
-            else:
-                self._prepend = chunk[buff.size:]
-
-        if chunk is not None and chunk.size:
-            self.n_bytes_read += buff.size
-            self.n_lines_read += buff.n_lines
-            return buff
-        return None
+        if self._is_finished:
+            return
+        if self._do_prepend:
+            self._prepend = chunk[n_consumed:]
+        else:
+            self._file_obj.seek(n_consumed - chunk.size, 1)
 
     def read_chunks(self, min_chunk_size: int = 5_000_000,
                     max_chunk_size: int = None):

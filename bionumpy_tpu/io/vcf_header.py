@@ -10,14 +10,17 @@ from typing import Any, List, Mapping, Optional
 
 @dataclass
 class VCFHeader:
-    fileformat: str = None
-    source: str = None
-    fileDate: str = None
-    reference: str = None
-    FILTER: Mapping[str, Any] = None
-    FORMAT: Mapping[str, Any] = None
+    """Parsed ##-metadata of a VCF header, keyed the way the spec names
+    its sections (INFO/FORMAT/FILTER/contig maps keyed by ID; scalar
+    ##key=value lines as strings; anything else under `optional`)."""
     INFO: Mapping[str, Any] = field(default_factory=dict)
+    FORMAT: Mapping[str, Any] = None
+    FILTER: Mapping[str, Any] = None
     contig: Mapping[str, Any] = None
+    fileformat: str = None
+    fileDate: str = None
+    source: str = None
+    reference: str = None
     optional: Mapping[str, List[Any]] = None
 
 

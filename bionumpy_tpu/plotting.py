@@ -15,27 +15,32 @@ from .sequence.count_encoded import EncodedCounts
 
 @dataclasses.dataclass
 class Vector:
+    """Named 1-D data, the bar-chart payload."""
     data: np.ndarray
     names: list
 
 
+def _import_pyplot():
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        return plt
+    except ImportError:
+        return None
+
+
 class Plotter:
     def __init__(self, plt=None):
-        self._plt = plt
+        self._tried = plt is not None
         self._show = True
-        self._tried = False
+        self._plt = plt
 
     @property
     def plt(self):
-        if self._plt is None and not self._tried:
-            try:
-                import matplotlib
-                matplotlib.use("Agg")
-                import matplotlib.pyplot as _plt
-                self._plt = _plt
-            except ImportError:
-                pass
+        if not self._tried:
             self._tried = True
+            self._plt = _import_pyplot()
         return self._plt
 
     def set_config(self, **kwargs):

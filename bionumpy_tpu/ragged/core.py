@@ -630,7 +630,22 @@ class RaggedArray:
 
 def ragged_slice(arr, starts=None, ends=None):
     """Per-row slicing (reference: npstructures.ragged_slice used at
-    bionumpy/io/bam.py:77-92)."""
+    bionumpy/io/bam.py:77-92).  A FLAT input (1-D ndarray or
+    EncodedArray) with explicit starts/ends gathers one window per
+    (start, end) pair — the reference's chromosome-sequence window
+    extraction (bionumpy/simulate/variants.py ref_seq slices)."""
+    flat_input = getattr(arr, "ndim", 0) == 1 and \
+        not hasattr(arr, "lengths")
+    if flat_input and starts is not None:
+        starts = np.asarray(starts, dtype=np.int64)
+        stops = np.full(len(starts), len(arr), dtype=np.int64) \
+            if ends is None else np.asarray(ends, dtype=np.int64)
+        window_lens = np.maximum(np.minimum(stops, len(arr)) - starts, 0)
+        idx = RaggedView(starts, window_lens).get_flat_indices()
+        if hasattr(arr, "encoding"):  # EncodedArray -> encoded ragged rows
+            from ..encoded_array import EncodedRaggedArray
+            return EncodedRaggedArray(arr[idx], window_lens)
+        return RaggedArray(np.asarray(arr)[idx], window_lens)
     if isinstance(arr, np.ndarray) and arr.ndim == 1:
         arr = RaggedArray(arr, [len(arr)]) if starts is None else arr
     if isinstance(arr, np.ndarray):

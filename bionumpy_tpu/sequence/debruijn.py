@@ -72,19 +72,21 @@ class DeBruijnGraph:
 
 
 class ColoredDeBruijnGraph:
+    """k-mer -> list of sequence indices ("colors") containing it."""
+
     def __init__(self, color_dict, k):
-        self._color_dict = color_dict
         self._kmer_encoding = KmerEncoding(DNAEncoding, k)
+        self._color_dict = color_dict
 
     @classmethod
     def from_sequences(cls, sequences, k):
-        color_dict = defaultdict(list)
         kmers = get_kmers(as_encoded_array(sequences), k)
-        for i, row in enumerate(kmers.raw()):
+        colors = defaultdict(list)
+        for seq_idx, row in enumerate(kmers.raw().tolist()):
             for kmer in row:
-                color_dict[int(kmer)].append(i)
-        return cls(color_dict, k)
+                colors[kmer].append(seq_idx)
+        return cls(colors, k)
 
     def __getitem__(self, idx):
-        kmer = as_encoded_array(idx, self._kmer_encoding).raw()
-        return self._color_dict[int(kmer)]
+        code = as_encoded_array(idx, self._kmer_encoding).raw()
+        return self._color_dict[int(code)]

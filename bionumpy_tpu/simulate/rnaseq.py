@@ -2,7 +2,6 @@
 from __future__ import annotations
 
 import dataclasses
-from itertools import chain
 
 import numpy as np
 from numpy.random import default_rng
@@ -18,18 +17,19 @@ rng = default_rng()
 
 @dataclasses.dataclass
 class RNASeqSimulationSettings:
-    transcript_counts: list = None
+    """Knobs for the transcript -> fragment -> read simulation."""
+    transcript_counts: list = None  # copies per transcript (default 1)
     fragment_size: int = 100
     sampling_rate: float = 0.9
     read_length: int = 75
 
 
 def get_transcript_copies(sequences, sequence_counts):
+    """Repeat each transcript by its copy count (row gather)."""
     if sequence_counts is None:
-        sequence_counts = [1] * len(sequences)
-    indices = list(chain(*[[i] * count
-                           for i, count in enumerate(sequence_counts)]))
-    return sequences[np.array(indices, dtype=np.int64)]
+        return sequences
+    counts = np.asarray(sequence_counts, dtype=np.int64)
+    return sequences[np.repeat(np.arange(len(counts)), counts)]
 
 
 def fragment_transcript_copies(sequences, fragment_size: int):

@@ -20,15 +20,8 @@ logger = logging.getLogger(__name__)
 
 
 @bnpdataclass
-class SimulatedVCFEntryWithGenotypes:
-    chromosome: str
-    position: int
-    id: str
-    ref_seq: str
-    alt_seq: str
-    quality: str
-    filter: str
-    info: str
+class SimulatedVCFEntryWithGenotypes(VCFEntry):
+    """The eight VCF columns plus a per-sample genotype-string matrix."""
     genotypes: List[str]
 
 

@@ -58,32 +58,40 @@ def assert_float_close_enough(a, b):
     assert_array_almost_equal(fa, fb)
 
 
+def _decode_categorical(value):
+    """StringEncoding-encoded fields compare by their decoded strings."""
+    if isinstance(value, EncodedArray) and \
+            isinstance(value.encoding, StringEncoding):
+        return value.encoding.decode(value)
+    return value
+
+
+def _field_comparator(s, o, declared_type):
+    """Pick the equality assertion for one dataclass field pair."""
+    if isinstance(s, StringArray) or isinstance(o, StringArray):
+        return assert_string_array_equal
+    for cls, fn in ((EncodedRaggedArray, assert_encoded_raggedarray_equal),
+                    (EncodedArray, assert_encoded_array_equal),
+                    (RaggedArray, assert_raggedarray_equal)):
+        if isinstance(s, cls):
+            return fn
+    if isinstance(s, np.ndarray):
+        if declared_type == float:
+            return assert_float_close_enough
+        return lambda x, y: assert_array_equal(x, np.asarray(y))
+    if hasattr(s, "from_entry_tuples"):  # nested record type
+        return assert_bnpdataclass_equal
+    return None
+
+
 def assert_bnpdataclass_equal(a, b):
-    assert [f.name for f in dataclasses.fields(a)] == \
-        [f.name for f in dataclasses.fields(b)]
+    names = [f.name for f in dataclasses.fields(a)]
+    assert names == [f.name for f in dataclasses.fields(b)], (a, b)
     for field in dataclasses.fields(a):
-        s = getattr(a, field.name)
-        o = getattr(b, field.name)
-        if isinstance(s, EncodedArray) and \
-                isinstance(s.encoding, StringEncoding):
-            s = s.encoding.decode(s)
-        if isinstance(o, EncodedArray) and \
-                isinstance(o.encoding, StringEncoding):
-            o = o.encoding.decode(o)
-        if isinstance(s, StringArray) or isinstance(o, StringArray):
-            assert_string_array_equal(s, o)
-        elif isinstance(s, EncodedRaggedArray):
-            assert_encoded_raggedarray_equal(s, o)
-        elif isinstance(s, EncodedArray):
-            assert_encoded_array_equal(s, o)
-        elif isinstance(s, RaggedArray):
-            assert_raggedarray_equal(s, o)
-        elif isinstance(s, np.ndarray):
-            if field.type == float:
-                assert_float_close_enough(s, o)
-            else:
-                assert_array_equal(s, np.asarray(o))
-        elif hasattr(s, "from_entry_tuples"):
-            assert_bnpdataclass_equal(s, o)
+        s = _decode_categorical(getattr(a, field.name))
+        o = _decode_categorical(getattr(b, field.name))
+        compare = _field_comparator(s, o, field.type)
+        if compare is not None:
+            compare(s, o)
         else:
             assert np.all(np.equal(s, o)), (field.name, s, o)
