@@ -216,8 +216,14 @@ def _member_table(data: bytes):
            | (arr[tails - 3].astype(np.int64) << 8)
            | (arr[tails - 2].astype(np.int64) << 16)
            | (arr[tails - 1].astype(np.int64) << 24))
-    # implausible expansion or empty members: not a clean member table
-    if np.any(isz <= 0) or int(isz.sum()) > 1000 * len(data) + (1 << 20):
+    # Implausible expansion or empty members: not a clean member table.
+    # The per-member bound caps what a corrupt/adversarial ISIZE footer
+    # can make the slab allocator reserve (DEFLATE tops out ~1032x; real
+    # FASTQ is <10x; the 64 KiB slack admits tiny high-ratio members) —
+    # over the cap we take the repairing generic path instead of
+    # np.empty'ing footer-dictated gigabytes (ADVICE r3).
+    if np.any(isz <= 0) or \
+            np.any(isz > 64 * np.diff(bounds) + (1 << 16)):
         return None
     return bounds, isz
 
@@ -329,11 +335,14 @@ def _batch_arrays(path: str, target_bases: int,
         slab = np.empty(_SLAB_PAD + size, np.uint8)
         base = int(raw_off[a])
         with stage("inflate", n_bytes=int(bounds[b] - bounds[a])):
-            futs = [pool.submit(
-                _inflate_member_into, data, int(bounds[i]),
-                int(bounds[i + 1]), slab,
-                _SLAB_PAD + int(raw_off[i]) - base,
-                int(isz[i])) for i in range(a, b)]
+            def _task(i):
+                if i == 0:  # reuse the ratio-probe bytes (ADVICE r3)
+                    slab[_SLAB_PAD: _SLAB_PAD + len(first)] = first
+                    return native.count_byte(first, 10, n_threads=1)
+                return _inflate_member_into(
+                    data, int(bounds[i]), int(bounds[i + 1]), slab,
+                    _SLAB_PAD + int(raw_off[i]) - base, int(isz[i]))
+            futs = [pool.submit(_task, i) for i in range(a, b)]
             counts = [f.result() for f in futs]
         if min(counts) < 0:
             parts = _inflated_parts_from(data, pool, int(bounds[a]))

@@ -95,3 +95,43 @@ def test_corrupt_isize_fails_loudly(layouts, tmp_path):
                 pass
     finally:
         pool.shutdown(wait=False)
+
+
+def test_implausible_isize_rejects_member_table(layouts):
+    """A footer claiming >64x expansion must disqualify the member
+    table BEFORE any slab allocation (ADVICE r3: a corrupt/adversarial
+    ISIZE could otherwise drive multi-GB np.empty calls)."""
+    _, paths = layouts
+    data = bytearray(open(paths["multi"], "rb").read())
+    tbl = _member_table(bytes(data))
+    assert tbl is not None
+    first_end = int(tbl[0][1])
+    claimed = 64 * first_end + (1 << 20)  # just past the per-member cap
+    data[first_end - 4: first_end] = claimed.to_bytes(4, "little")
+    assert _member_table(bytes(data)) is None
+
+
+def test_member_zero_probe_reused(layouts):
+    """The ratio probe's member-0 bytes are copied into batch 0 instead
+    of being inflated twice (ADVICE r3); content stays identical."""
+    from unittest import mock
+    from bionumpy_tpu import pipeline
+    full, paths = layouts
+    calls = []
+    real = pipeline._inflate_member_into
+
+    def spy(data, start, end, slab, off, expect):
+        calls.append(start)
+        return real(data, start, end, slab, off, expect)
+
+    pool = ThreadPoolExecutor(2)
+    try:
+        with mock.patch.object(pipeline, "_inflate_member_into", spy):
+            out = b"".join(
+                bytes(b) if isinstance(b, np.ndarray) else b
+                for b in pipeline._batch_arrays(paths["multi"], 1 << 30,
+                                                pool))
+    finally:
+        pool.shutdown(wait=False)
+    assert out == full
+    assert calls.count(0) == 1  # probe only; not re-inflated into slab
