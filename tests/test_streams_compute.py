@@ -199,3 +199,64 @@ def test_histogram_stream_fold():
                                 bins=np.array([0.0, 1.0, 2.0, 3.0]))
     np.testing.assert_array_equal(counts, exp_c)
     np.testing.assert_array_equal(edges, exp_e)
+
+
+def test_graph_rowwise_mean_concatenates():
+    """axis=-1 means map per chunk and concatenate (the reference's
+    _rowmean route, reference: bionumpy/streams/reductions.py:46-57)."""
+    from bionumpy_tpu.ragged import RaggedArray
+    chunks = [RaggedArray(np.arange(6.0), [2, 4]),
+              RaggedArray(np.arange(5.0), [5])]
+    node = StreamNode(iter(chunks))
+    got = np.asarray(node.mean(axis=-1).compute())
+    np.testing.assert_allclose(got, [0.5, 3.5, 2.0])
+
+
+def test_graph_streamed_quantile():
+    chunks = [np.array([1, 2, 2, 3]), np.array([10, 2, 4])]
+    node = StreamNode(iter(chunks))
+    got = np.quantile(node, [0.5, 1.0])
+    flat = np.concatenate(chunks)
+    hist = np.bincount(flat)
+    cum = np.cumsum(hist)
+    want = np.searchsorted(cum, np.array([0.5, 1.0]) * cum[-1])
+    np.testing.assert_array_equal(np.asarray(got.compute()), want)
+
+
+def test_graph_streamed_bincount():
+    chunks = [np.array([0, 1, 1]), np.array([5, 1])]
+    node = StreamNode(iter(chunks))
+    got = np.bincount(node).compute()
+    np.testing.assert_array_equal(
+        got, np.bincount(np.concatenate(chunks)))
+
+
+def test_reduction_feeds_further_math_autocomputes():
+    """A fold used as input to more math resolves eagerly (one pass),
+    so sqrt(mean(x)) returns a concrete value."""
+    chunks = [np.arange(10.0), np.arange(20.0)]
+    node = StreamNode(iter(chunks))
+    got = np.sqrt(np.mean(node))
+    assert not isinstance(got, ComputationNode)
+    np.testing.assert_allclose(
+        float(got), np.sqrt(np.concatenate(chunks).mean()))
+
+
+def test_reduction_into_live_stream_fails_loudly():
+    """mean(x) - x over ONE generator source: the fold consumes the
+    stream, and the remaining expression must fail loudly instead of
+    silently returning partial data."""
+    from bionumpy_tpu.computation_graph import ComputationException
+    node = StreamNode(iter([np.arange(4.0), np.arange(6.0)]))
+    centered = np.mean(node) - node
+    with pytest.raises(ComputationException, match="empty stream"):
+        compute(centered)
+
+
+def test_two_reductions_compose_eagerly():
+    a = StreamNode(iter([np.arange(4.0), np.arange(8.0)]))
+    b = StreamNode(iter([np.ones(3), 2 * np.ones(5)]))
+    got = np.mean(a) + np.sum(b)
+    expected = np.concatenate([np.arange(4.0), np.arange(8.0)]).mean() \
+        + 13.0
+    np.testing.assert_allclose(float(got), expected)
