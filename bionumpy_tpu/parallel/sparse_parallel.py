@@ -161,6 +161,102 @@ def sharded_sparse_count_fold_step(mesh: Mesh, k: int, cap: int,
     return jitted
 
 
+def _local_minimizer_table(words, ends, n_true, k: int, n_kmers: int,
+                           cap: int):
+    """Per-shard (lo, hi, count, meta) MINIMIZER table, sentinel-padded
+    to cap rows — the minimizer twin of _local_table (one count per
+    valid window, matching count_encoded(get_minimizers(...)))."""
+    from ..ops.kmers import counts_from_runs
+    from ..ops.minimizers import minimizer_table_packed
+    table, meta = minimizer_table_packed(words, ends, n_true, k,
+                                         n_kmers, cap)
+    n_unique = meta[0]
+    run_starts = table[2].astype(jnp.int32)
+    cnt = counts_from_runs(run_starts, n_unique, meta[1],
+                           run_starts.shape[0])
+    valid = jnp.arange(run_starts.shape[0], dtype=jnp.int32) < n_unique
+    lo_t = jnp.where(valid, table[0], _SENTINEL)
+    hi_t = jnp.where(valid, table[1], _SENTINEL)
+    return lo_t, hi_t, cnt, meta
+
+
+def sharded_minimizer_count_fold_step(mesh: Mesh, k: int,
+                                      window_size: int, cap: int,
+                                      acc_cap: int):
+    """Jitted multi-chip ACCUMULATING minimizer-count step for
+    pipeline.count_minimizers_fastq(mesh=...): identical shape and
+    merge algebra to sharded_sparse_count_fold_step, with the windowed-
+    min local table.  The fold is exact because distinct-minimizer
+    tables merge with the same associative (hash, count) sum the
+    reference folds per chunk (reference:
+    bionumpy/streams/reductions.py:6-23,
+    bionumpy/sequence/minimizers.py:8-54)."""
+    key = ("minimizer", mesh, k, window_size, cap, acc_cap)
+    if key in _FOLD_STEP_CACHE:
+        return _FOLD_STEP_CACHE[key]
+    n_kmers = window_size - k + 1
+
+    import inspect
+    params = inspect.signature(shard_map).parameters
+    check_kw = {"check_vma": False} if "check_vma" in params else \
+        {"check_rep": False}
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(), P("dp", None), P("dp", None), P("dp")),
+             out_specs=(P(), P(), P()), **check_kw)
+    def step(acc, words_b, ends_b, n_true_b):
+        lo_t, hi_t, cnt, meta = _local_minimizer_table(
+            words_b[0], ends_b[0], n_true_b[0], k, n_kmers, cap)
+        lo_g = jax.lax.all_gather(lo_t, "dp").reshape(-1)
+        hi_g = jax.lax.all_gather(hi_t, "dp").reshape(-1)
+        cnt_g = jax.lax.all_gather(cnt, "dp").reshape(-1)
+        metas = jax.lax.all_gather(meta, "dp")
+        lo = jnp.concatenate([acc[0], lo_g])
+        hi = jnp.concatenate([acc[1], hi_g])
+        c = jnp.concatenate([acc[2].astype(jnp.int32), cnt_g])
+        m_lo, m_hi, m_cnt, n_u = merge_hash_tables(lo, hi, c, acc_cap)
+        return (jnp.stack([m_lo, m_hi, m_cnt.astype(jnp.uint32)]),
+                metas, n_u)
+
+    jitted = jax.jit(step, donate_argnums=(0,))
+    _FOLD_STEP_CACHE[key] = jitted
+    return jitted
+
+
+def sharded_pwm_match_step(mesh: Mesh, window_size: int, cap: int):
+    """Jitted multi-chip PWM scan step: per-shard packed words/ends in,
+    per-shard compacted match positions out (matches are read-local, so
+    outputs stay sharded) plus the psum'd global match count.  step(
+    words (n_dev, W), ends (n_dev, R), n_true (n_dev,), matrix (4, w),
+    threshold) -> (positions (n_dev, cap) int32, n_matches (n_dev,)
+    int32, total scalar)."""
+    key = ("pwm", mesh, window_size, cap)
+    if key in _FOLD_STEP_CACHE:
+        return _FOLD_STEP_CACHE[key]
+    from ..ops.pwm import pwm_match_compact, pwm_scores_packed
+
+    import inspect
+    params = inspect.signature(shard_map).parameters
+    check_kw = {"check_vma": False} if "check_vma" in params else \
+        {"check_rep": False}
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P("dp", None), P("dp", None), P("dp"), P(), P()),
+             out_specs=(P("dp", None), P("dp"), P()), **check_kw)
+    def step(words_b, ends_b, n_true_b, matrix, threshold):
+        scores = pwm_scores_packed(words_b[0], matrix, window_size)
+        pos, n_matches = pwm_match_compact(scores, ends_b[0],
+                                           n_true_b[0], threshold,
+                                           window_size, cap)
+        total = jax.lax.psum(n_matches, "dp")
+        return (pos[None], n_matches.astype(jnp.int32)[None],
+                total.astype(jnp.int32))
+
+    jitted = jax.jit(step)
+    _FOLD_STEP_CACHE[key] = jitted
+    return jitted
+
+
 def shard_packed_reads(flat_codes: np.ndarray, lengths: np.ndarray,
                        n_shards: int, min_bucket: int = 1 << 10):
     """Host-side: split a ragged chunk on row boundaries into n_shards

@@ -929,6 +929,185 @@ def _count_kmers_fastq_mesh(path: str, k: int, cap: int,
                                counts), stats
 
 
+def _as_dp_mesh(mesh):
+    """The caller's mesh, or a 1-device 'dp' mesh on the default
+    device (so the mesh-composed pipelines are also the single-chip
+    path)."""
+    if mesh is not None:
+        return mesh
+    import jax
+    from jax.sharding import Mesh
+    return Mesh(np.array(jax.devices()[:1]), ("dp",))
+
+
+def _sharded_batches(path: str, target_bases: int, n_dev: int,
+                     pool: ThreadPoolExecutor):
+    """Yield per-batch shard-stacked (words (n_dev, W), ends (n_dev, R),
+    n_true (n_dev,), parsed) for the mesh pipelines: inflated batches
+    split on entry boundaries, each shard native-parsed+packed, padded
+    to the widest shard of the batch."""
+    for raw in _prefetched(
+            _batch_arrays(path, target_bases * n_dev, pool)):
+        if isinstance(raw, np.ndarray):
+            raw = raw.tobytes()
+        shards = _split_fastq_entries(raw, n_dev)
+        parsed = [_parse_batch(s) for s in shards]
+        n_words = max(p[0].shape[0] for p in parsed)
+        n_rows = max(p[1].shape[0] for p in parsed)
+        words = np.zeros((n_dev, n_words), np.uint32)
+        ends = np.zeros((n_dev, n_rows), np.int32)
+        n_true = np.zeros(n_dev, np.int32)
+        for d, (w, e, nb, nr) in enumerate(parsed):
+            words[d, : w.shape[0]] = w
+            ends[d, : e.shape[0]] = e
+            ends[d, e.shape[0]:] = e[-1] if e.shape[0] else 0
+            n_true[d] = nb
+        yield words, ends, n_true, parsed
+
+
+def count_minimizers_fastq(path: str, k: int = 21,
+                           window_size: int = 30, cap: int = 1 << 20,
+                           target_bases: int = TARGET_BUCKET - (1 << 21),
+                           mesh=None, n_threads: int = None,
+                           acc_cap: int = None):
+    """Count distinct minimizers (k-mer min per window) of a FASTQ file,
+    data-parallel over a jax.sharding.Mesh: per-batch read shards build
+    windowed-min tables on every device, all_gather-merged into a
+    replicated accumulator in ONE jitted step per batch (the mesh twin
+    of sequence.count_minimizers; reference semantics:
+    bionumpy/sequence/minimizers.py:8-54 + streams/reductions.py:6-23).
+
+    Returns (SparseEncodedCounts, stats {n_reads, n_bases, n_windows})."""
+    import jax
+    from .encodings import DNAEncoding
+    from .encodings.kmer_encodings import KmerEncoding
+    from .parallel.sparse_parallel import \
+        sharded_minimizer_count_fold_step
+    from .sequence.count_encoded import SparseEncodedCounts
+
+    mesh = _as_dp_mesh(mesh)
+    n_dev = int(mesh.devices.size)
+    if acc_cap is None:
+        acc_cap = max(4 * cap, 1 << 22)
+    if n_threads is None:
+        n_threads = min(8, os.cpu_count() or 1)
+    step = sharded_minimizer_count_fold_step(mesh, k, window_size, cap,
+                                             acc_cap)
+    _, make_acc, _ = _device_merge_fns()
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    rep = NamedSharding(mesh, P())
+    dp = NamedSharding(mesh, P("dp"))
+    dp2 = NamedSharding(mesh, P("dp", None))
+    acc = jax.jit(lambda: make_acc(acc_cap), out_shardings=rep)()
+
+    pool = ThreadPoolExecutor(n_threads)
+    n_reads = n_bases = n_windows = 0
+    acc_nu = None
+    try:
+        for words, ends, n_true, parsed in _sharded_batches(
+                path, target_bases, n_dev, pool):
+            n_reads += sum(p[3] for p in parsed)
+            n_bases += sum(p[2] for p in parsed)
+            with stage("mesh-step"):
+                acc, metas, acc_nu = step(acc,
+                                          jax.device_put(words, dp2),
+                                          jax.device_put(ends, dp2),
+                                          jax.device_put(n_true, dp))
+            with stage("D2H-meta"):
+                m = np.asarray(metas)
+            if (m[:, 0] > cap).any():
+                raise ValueError(
+                    f"shard had {int(m[:, 0].max())} distinct "
+                    f"minimizers > cap {cap}; raise cap")
+            n_windows += int(m[:, 1].sum())
+    finally:
+        pool.shutdown(wait=False)
+
+    with stage("D2H-table"):
+        hashes, counts = _fetch_acc(acc, acc_cap, acc_nu)
+    stats = {"n_reads": n_reads, "n_bases": n_bases,
+             "n_windows": n_windows}
+    return SparseEncodedCounts(KmerEncoding(DNAEncoding, k), hashes,
+                               counts), stats
+
+
+def get_motif_matches_fastq(path: str, pwm, threshold: float,
+                            cap: int = 1 << 20,
+                            target_bases: int = TARGET_BUCKET - (1 << 21),
+                            mesh=None, n_threads: int = None):
+    """Whole-job PWM motif scan of a FASTQ file over a mesh: each batch
+    splits on read boundaries, every shard scores its reads and
+    compacts its match positions on device (D2H proportional to the
+    MATCHES), the global match count rides a psum.  Matches are
+    read-local so positions stay sharded — the data-parallel twin of
+    get_motif_scores + threshold (reference:
+    bionumpy/sequence/position_weight_matrix.py:85-101,166-196).
+
+    Returns (read_indices, in-read offsets, stats {n_reads, n_bases,
+    n_matches}), globally sorted by (read, offset)."""
+    import jax
+    import jax.numpy as jnp
+    from .parallel.sparse_parallel import sharded_pwm_match_step
+
+    matrix = pwm.matrix if hasattr(pwm, "matrix") else np.asarray(pwm)
+    matrix32 = np.ascontiguousarray(matrix, np.float32)
+    w = matrix32.shape[1]
+    mesh = _as_dp_mesh(mesh)
+    n_dev = int(mesh.devices.size)
+    if n_threads is None:
+        n_threads = min(8, os.cpu_count() or 1)
+    step = sharded_pwm_match_step(mesh, w, cap)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    rep = NamedSharding(mesh, P())
+    dp = NamedSharding(mesh, P("dp"))
+    dp2 = NamedSharding(mesh, P("dp", None))
+    matrix_d = jax.device_put(matrix32, rep)
+    thr_d = jax.device_put(np.float32(threshold), rep)
+
+    pool = ThreadPoolExecutor(n_threads)
+    rows_parts, offs_parts = [], []
+    n_reads = n_bases = n_matches = 0
+    try:
+        for words, ends, n_true, parsed in _sharded_batches(
+                path, target_bases, n_dev, pool):
+            with stage("mesh-step"):
+                pos, nm, total = step(jax.device_put(words, dp2),
+                                      jax.device_put(ends, dp2),
+                                      jax.device_put(n_true, dp),
+                                      matrix_d, thr_d)
+            with stage("D2H-matches"):
+                nm_h = np.asarray(nm)
+                pos_h = np.asarray(pos)
+            read_base = n_reads
+            for d, (_w, _e, nb, nr) in enumerate(parsed):
+                hits = int(nm_h[d])
+                if hits > cap:
+                    raise ValueError(
+                        f"shard had {hits} matches > cap {cap}; "
+                        f"raise cap")
+                p = pos_h[d, :hits]
+                ends_host = parsed[d][1][:nr]
+                r = np.searchsorted(ends_host, p, side="right")
+                starts = np.concatenate([[0], ends_host])[r]
+                rows_parts.append(r + read_base)
+                offs_parts.append(p - starts)
+                read_base += nr
+                n_matches += hits
+                n_bases += nb
+            n_reads = read_base
+    finally:
+        pool.shutdown(wait=False)
+
+    rows = np.concatenate(rows_parts) if rows_parts \
+        else np.empty(0, np.int64)
+    offs = np.concatenate(offs_parts) if offs_parts \
+        else np.empty(0, np.int64)
+    order = np.lexsort((offs, rows))
+    stats = {"n_reads": n_reads, "n_bases": n_bases,
+             "n_matches": n_matches}
+    return rows[order], offs[order], stats
+
+
 def merge_sorted_tables(h1, c1, h2, c2):
     """Merge two SORTED (hash, count) tables, summing equal keys — O(n)
     numpy passes (an argsort of the concatenation costs ~3x more; this
