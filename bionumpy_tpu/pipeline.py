@@ -492,6 +492,25 @@ _fold_program = None
 _make_acc = None
 _make_sentinel = None
 _sentinel_cache = {}
+_meta_stack = None
+
+# batches kept in flight beyond a full fold window before the pipeline
+# blocks on a meta fetch: the stacked fetch then syncs on work the
+# device has long finished instead of the batch just dispatched
+META_LAG = 2
+
+
+def _meta_stacker():
+    """Jitted device-side stack of N same-shape meta vectors, so a whole
+    fold window's metas cross the relay in ONE D2H round-trip (the
+    per-batch fetch was 56% of the r3 driver headline wall).  jit
+    retraces per arity; only a handful of tiny programs exist."""
+    global _meta_stack
+    if _meta_stack is None:
+        import jax
+        import jax.numpy as jnp
+        _meta_stack = jax.jit(lambda *ms: jnp.stack(ms))
+    return _meta_stack
 
 
 def _device_merge_fns():
@@ -652,15 +671,12 @@ def count_kmers_fastq(path: str, k: int = 31, cap: int = 1 << 20,
         acc_nu = None
         kmers_in_acc = 0
 
-    def resolve_one():
-        """Check the oldest in-flight batch's meta (one batch of lag so
-        the device keeps working); retry overflowed batches at a doubled
-        cap, splitting the wider table into cap-row slices so folds keep
-        their pinned shape."""
+    def _consume(m, entry):
+        """Apply one (already host-side) meta row to its batch: retry
+        overflowed batches at a doubled cap, splitting the wider table
+        into cap-row slices so folds keep their pinned shape."""
         nonlocal n_reads, n_bases, n_kmers, kmers_in_acc
-        meta_dev, table, payload, mode = inflight.popleft()
-        with stage("D2H-meta"):
-            m = np.asarray(meta_dev)
+        _meta_dev, table, payload, mode = entry
         if len(m) >= 5:  # device-parse meta: entry/base counts
             if not int(m[3]):
                 raise ValueError("malformed FASTQ batch (device scan)")
@@ -691,6 +707,32 @@ def count_kmers_fastq(path: str, k: int = 31, cap: int = 1 << 20,
                 pending.append(tuple(t[s: s + cap] for t in table))
         fold_pending()
 
+    def resolve_some(force=False):
+        """Resolve the oldest same-mode run of in-flight batches with
+        ONE stacked meta fetch — one relay round-trip per fold window
+        instead of per batch (the per-batch fetch was 56% of the r3
+        driver headline wall).  Runs only while a full fold window plus
+        META_LAG batches are in flight, so the fetch syncs on finished
+        work, not the head of the device queue."""
+        while inflight and (force
+                            or len(inflight) >= ACC_FOLD + META_LAG):
+            run = 1
+            mode0 = inflight[0][3]
+            while run < min(len(inflight), ACC_FOLD) and \
+                    inflight[run][3] == mode0:
+                run += 1
+            entries = [inflight.popleft() for _ in range(run)]
+            with stage("D2H-meta"):
+                if run == 1:
+                    m_all = np.asarray(entries[0][0])[None]
+                else:
+                    m_all = np.asarray(
+                        _meta_stacker()(*[e[0] for e in entries]))
+            for m, entry in zip(m_all, entries):
+                _consume(m, entry)
+            if not force:
+                break
+
     def launch(prepped):
         nonlocal n_reads, n_bases
         mode, payload = prepped
@@ -704,11 +746,7 @@ def count_kmers_fastq(path: str, k: int = 31, cap: int = 1 << 20,
             padded, n_true = payload
             table, meta = count_device_parse(padded, n_true, cap)
             inflight.append((meta, table, (padded, n_true), mode))
-        # resolve with a few batches of lag: the meta fetch blocks until
-        # that batch's count completes, so deeper lag keeps the device
-        # queue full instead of syncing after every dispatch
-        while len(inflight) > 3:
-            resolve_one()
+        resolve_some()
 
     def prep(mode, raw):
         if mode == "packed":
@@ -749,8 +787,7 @@ def count_kmers_fastq(path: str, k: int = 31, cap: int = 1 << 20,
                 prep_fut = worker.submit(prep, mode_for(i), raw)
         if prep_fut is not None:
             launch(prep_fut.result())
-        while inflight:
-            resolve_one()
+        resolve_some(force=True)
     finally:
         worker.shutdown(wait=False)
         pool.shutdown(wait=False)
