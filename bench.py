@@ -518,7 +518,8 @@ def numpy_sbs96_job(path, ref_codes):
     pos_s = pos[snp]
     is22_s = is22[snp]
     counts = np.zeros(96, np.int64)
-    for name, sel in (("chr21", ~is22_s), ("chr22", is22_s)):
+    names = sorted(ref_codes)  # the file's own naming (21/22)
+    for name, sel in ((names[0], ~is22_s), (names[1], is22_s)):
         codes = ref_codes[name]
         p = pos_s[sel]
         a = alt[sel].astype(np.int64)

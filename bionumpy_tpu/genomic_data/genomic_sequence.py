@@ -102,18 +102,52 @@ class GenomicSequenceDict(GenomicSequence):
 
     extract_chromosome = extract_chromsome
 
-    def _extract_intervals(self, intervals):
+    @property
+    def _flat_codes(self):
+        """Concatenated per-chromosome code buffer + name offsets,
+        built once: interval extraction is then ONE vectorized window
+        gather instead of a per-interval python loop (was the whole
+        cost of SBS96 counting at 83k variants)."""
+        if not hasattr(self, "_flat_cache"):
+            offsets = {}
+            parts = []
+            off = 0
+            for name, seq in self._dict.items():
+                offsets[name] = off
+                arr = np.asarray(seq.raw())
+                off += len(arr)
+                parts.append(arr)
+            flat = np.concatenate(parts) if parts else \
+                np.empty(0, np.uint8)
+            self._flat_cache = (flat, offsets)
+        return self._flat_cache
+
+    def _chromosome_offsets(self, chrom, n: int) -> np.ndarray:
+        """Per-interval base offset of each interval's chromosome in
+        the concatenated buffer."""
         from ..encodings.string_encodings import StringEncoding
-        chrom = intervals.chromosome
+        _, offsets = self._flat_codes
         if hasattr(chrom, "encoding") and \
                 isinstance(chrom.encoding, StringEncoding):
             labels = chrom.encoding.get_labels()
-            names = [labels[int(c)] for c in np.asarray(chrom.raw())]
-        else:
-            names = chrom.tolist()
-        starts = np.asarray(intervals.start)
-        stops = np.asarray(intervals.stop)
-        rows = [self._dict[str(names[i])][int(starts[i]): int(stops[i])]
-                for i in range(len(starts))]
-        return as_encoded_array(rows, ACGTnEncoding) if rows else \
-            as_encoded_array([], ACGTnEncoding)
+            table = np.array([offsets[label] for label in labels],
+                             np.int64)
+            return table[np.asarray(chrom.raw())]
+        names = np.asarray([str(s) for s in chrom.tolist()])
+        uniq, inverse = np.unique(names, return_inverse=True)
+        table = np.array([offsets[u] for u in uniq], np.int64)
+        return table[inverse]
+
+    def _extract_intervals(self, intervals):
+        from ..ragged import RaggedView
+        starts = np.asarray(intervals.start, dtype=np.int64)
+        stops = np.asarray(intervals.stop, dtype=np.int64)
+        if len(starts) == 0:
+            return as_encoded_array([], ACGTnEncoding)
+        flat, _ = self._flat_codes
+        base = self._chromosome_offsets(intervals.chromosome,
+                                        len(starts))
+        lens = stops - starts
+        idx = RaggedView(base + starts, lens).get_flat_indices()
+        return EncodedRaggedArray(EncodedArray(flat[idx], ACGTnEncoding),
+                                  lens)

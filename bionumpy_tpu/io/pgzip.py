@@ -272,5 +272,13 @@ def open_gzip(path: str, n_threads: int = 2, max_in_memory: int = 1 << 31):
         data = f.read()
     offsets = member_offsets(data)
     if len(offsets) < 2:
+        # single member: one-shot native inflate (csrc, ~2x zlib and
+        # GIL-free) beats python-gzip's streaming read loop; fall back
+        # to sequential gzip if the native decoder is unavailable or
+        # the candidate scan mis-detected (e.g. corrupt stream)
+        from .. import native
+        raw = native.gzip_inflate(data)
+        if raw is not None:
+            return io.BytesIO(raw)
         return _gzip.open(path, "rb")
     return _ParallelMemberStream(data, offsets, n_threads=n_threads)

@@ -71,6 +71,11 @@ def _load():
     lib.gzip_inflate_all.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_long, ctypes.c_int]
+    lib.gzip_inflate_count.restype = ctypes.c_long
+    lib.gzip_inflate_count.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_long, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_long)]
     lib.count_byte.restype = ctypes.c_long
     lib.count_byte.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_long, ctypes.c_uint8,
@@ -347,6 +352,28 @@ def gzip_inflate_into(data: bytes, start: int, end: int,
                       ctypes.POINTER(ctypes.c_uint8))
     res = lib.gzip_inflate_all(src, end - start, dst, expect, 1)
     return res == expect
+
+
+def gzip_inflate_count_into(data, start: int, end: int, out: np.ndarray,
+                            out_off: int, expect: int,
+                            value: int = 10) -> int:
+    """gzip_inflate_into with a FUSED byte-value count: occurrences of
+    `value` in the inflated output are tallied during the CRC-verify
+    pass (one memory pass instead of two on a bandwidth-throttled
+    host).  Returns the count, or -1 on any mismatch / missing
+    library."""
+    lib = _load()
+    if lib is None:
+        return -1
+    base = np.frombuffer(data, np.uint8).ctypes.data  # zero-copy view
+    src = ctypes.cast(ctypes.c_void_p(base + start),
+                      ctypes.POINTER(ctypes.c_uint8))
+    dst = ctypes.cast(ctypes.c_void_p(out.ctypes.data + out_off),
+                      ctypes.POINTER(ctypes.c_uint8))
+    cnt = ctypes.c_long(0)
+    res = lib.gzip_inflate_count(src, end - start, dst, expect, value,
+                                 ctypes.byref(cnt))
+    return int(cnt.value) if res == expect else -1
 
 
 def pack_2bit(codes: np.ndarray) -> np.ndarray:

@@ -238,6 +238,12 @@ def _inflate_member_into(data: bytes, start: int, end: int,
     exactly `expect` verified bytes."""
     from . import native
     view = slab[out_off: out_off + expect]
+    # fused inflate + CRC-verify + newline count: ONE read pass over
+    # the fresh output instead of two (csrc gzip_inflate_count)
+    fused = native.gzip_inflate_count_into(data, start, end, slab,
+                                           out_off, expect, 10)
+    if fused >= 0:
+        return fused
     if native.gzip_inflate_into(data, start, end, slab, out_off, expect):
         return native.count_byte(view, 10, n_threads=1)
     # no native library: copying zlib fallback
@@ -262,6 +268,91 @@ def _inflate_member_into(data: bytes, start: int, end: int,
 # partial-entry tail copies in without reallocating; entries larger
 # than this take a rare concatenate fallback
 _SLAB_PAD = 1 << 20
+
+_READ_CHUNK = 4 << 20
+_GZ_MAGIC = b"\x1f\x8b\x08"
+
+
+class _OverlappedRead:
+    """Background whole-file read into one buffer with a wait-for-
+    offset API, so member inflation starts while later bytes are still
+    coming off the filesystem (the serialized up-front read was 29% of
+    the r4 driver headline wall under IO throttling)."""
+
+    def __init__(self, path: str):
+        import threading
+        self.size = os.path.getsize(path)
+        self.buf = bytearray(self.size)
+        self._cond = threading.Condition()
+        self._read = 0
+        self._done = self.size == 0
+        self._error = None
+        self._thread = threading.Thread(target=self._run, args=(path,),
+                                        daemon=True)
+        self._thread.start()
+
+    def _run(self, path):
+        try:
+            with stage("read"), open(path, "rb") as f:
+                mv = memoryview(self.buf)
+                pos = 0
+                while pos < self.size:
+                    n = f.readinto(mv[pos: pos + _READ_CHUNK])
+                    if n <= 0:
+                        break
+                    pos += n
+                    with self._cond:
+                        self._read = pos
+                        self._cond.notify_all()
+        except BaseException as e:  # surfaced on the consumer's wait
+            self._error = e
+        finally:
+            with self._cond:
+                self._done = True
+                self._cond.notify_all()
+
+    def wait_for(self, need: int) -> int:
+        """Block until >= `need` bytes are read (or EOF); returns the
+        bytes available."""
+        with self._cond:
+            while self._read < need and not self._done:
+                self._cond.wait()
+            if self._error is not None:
+                raise self._error
+            return self._read
+
+
+class _MemberScanner:
+    """Incremental gzip member-candidate scanner over a growing buffer:
+    the same magic+FLG heuristic as io.pgzip.member_offsets, applied
+    only to newly-read bytes (candidates are verified at inflate time
+    exactly like the whole-buffer table)."""
+
+    def __init__(self, buf: bytearray, size: int):
+        self.buf = buf
+        self.size = size
+        self.cands = [0] if size >= 18 else []
+        self._scan = 1  # next unscanned offset (candidate 0 implicit)
+
+    def scan_to(self, limit: int):
+        buf = self.buf
+        lim = min(limit, self.size)
+        last_valid = min(self.size - 18, lim - 4)
+        prev = self.cands[-1] if self.cands else -1
+        i = buf.find(_GZ_MAGIC, self._scan, lim)
+        while 0 <= i <= last_valid:
+            if i > prev and not (buf[i + 3] & 0xE0):
+                self.cands.append(i)
+                prev = i
+            i = buf.find(_GZ_MAGIC, i + 1, lim)
+        # keep a small overlap so a magic/FLG spanning the read
+        # frontier is found on the next call
+        self._scan = max(self._scan, max(1, min(lim - 2,
+                                                last_valid + 1)))
+
+    @property
+    def exhausted(self) -> bool:
+        return self._scan >= max(self.size - 2, 1)
 
 
 def _tail_entry_cut(view: np.ndarray, n_newlines: int) -> int:
@@ -305,51 +396,127 @@ def _batch_arrays(path: str, target_bases: int,
     if not path.endswith(".gz"):
         yield from _batch_raw_bytes(path, target_bases, pool)
         return
-    with stage("read"):
-        with open(path, "rb") as f:
-            data = f.read()
-    tbl = _member_table(data)
-    if tbl is None:
-        yield from _generic_tail(data, 0, target_bases, pool)
+    ovr = _OverlappedRead(path)
+    data = ovr.buf
+    scanner = _MemberScanner(data, ovr.size)
+
+    def ensure_members(k: int):
+        """Scan forward until >= k member candidates are known or the
+        whole file has been scanned."""
+        while len(scanner.cands) < k and not scanner.exhausted:
+            got = ovr.wait_for(min(ovr.size, scanner._scan + _READ_CHUNK))
+            scanner.scan_to(got)
+            if got >= ovr.size:
+                break
+
+    def fall_back_all():
+        ovr.wait_for(ovr.size)
+        yield from _generic_tail(bytes(data), 0, target_bases, pool)
+
+    ensure_members(2)
+    cands = scanner.cands
+    if len(cands) < 2 and scanner.exhausted:
+        yield from fall_back_all()
         return
-    bounds, isz = tbl
-    raw_off = np.insert(np.cumsum(isz), 0, 0)
-    n_m = len(isz)
+
+    def member_end(i: int) -> int:
+        """End offset of member i; scans further as needed.  The final
+        member ends at the file size (requires read completion)."""
+        ensure_members(i + 2)
+        if i + 1 < len(scanner.cands):
+            return scanner.cands[i + 1]
+        ovr.wait_for(ovr.size)
+        return ovr.size
+
+    def isize_of(i: int, end: int) -> int:
+        return int.from_bytes(data[end - 4: end], "little")
+
+    def plausible(start: int, end: int, raw: int) -> bool:
+        # same bounds as _member_table: minimal 18-byte members and a
+        # capped expansion ratio (ADVICE r3 slab-allocation guard)
+        return end - start >= 18 and 0 < raw <= \
+            64 * (end - start) + (1 << 16)
+
     # bases-per-raw-byte from member 0 (sizes the member groups so
     # batches fill their device bucket)
-    first = np.empty(int(isz[0]), np.uint8)
-    if _inflate_member_into(data, int(bounds[0]), int(bounds[1]),
-                            first, 0, int(isz[0])) < 0:
-        yield from _generic_tail(data, 0, target_bases, pool)
+    end0 = member_end(0)
+    isz0 = isize_of(0, end0)
+    if not plausible(0, end0, isz0):
+        yield from fall_back_all()
+        return
+    ovr.wait_for(end0)
+    first = np.empty(isz0, np.uint8)
+    first_nl = _inflate_member_into(data, 0, end0, first, 0, isz0)
+    if first_nl < 0:
+        yield from fall_back_all()
         return
     frac = max(_seq_fraction(first.tobytes()), 0.05)
     target_raw = max(int(target_bases / frac), 1 << 16)
+
     carry = None   # partial-entry tail of the previous slab (ndarray)
     carry_nl = 0   # newlines inside carry
     a = 0
-    while a < n_m:
-        b = int(np.searchsorted(raw_off, raw_off[a] + target_raw,
-                                side="left"))
-        b = min(max(b, a + 1), n_m)
-        size = int(raw_off[b] - raw_off[a])
-        slab = np.empty(_SLAB_PAD + size, np.uint8)
-        base = int(raw_off[a])
-        with stage("inflate", n_bytes=int(bounds[b] - bounds[a])):
-            def _task(i):
-                if i == 0:  # reuse the ratio-probe bytes (ADVICE r3)
-                    slab[_SLAB_PAD: _SLAB_PAD + len(first)] = first
-                    return native.count_byte(first, 10, n_threads=1)
-                return _inflate_member_into(
-                    data, int(bounds[i]), int(bounds[i + 1]), slab,
-                    _SLAB_PAD + int(raw_off[i]) - base, int(isz[i]))
-            futs = [pool.submit(_task, i) for i in range(a, b)]
-            counts = [f.result() for f in futs]
-        if min(counts) < 0:
-            parts = _inflated_parts_from(data, pool, int(bounds[a]))
+    a_start = 0
+    bad = False    # implausible member seen: fall back from member a
+    while True:
+        # collect the group [a, b): members until target_raw raw bytes
+        group = []     # (start, end, isize, raw offset in group)
+        raw_sum = 0
+        start = a_start
+        while raw_sum < target_raw:
+            i = a + len(group)
+            if i + 1 < len(scanner.cands):
+                end = scanner.cands[i + 1]
+            else:
+                ensure_members(i + 2)
+                if i >= len(scanner.cands):
+                    break  # past the last member
+                if i + 1 < len(scanner.cands):
+                    end = scanner.cands[i + 1]
+                else:  # final member: ends at the file end
+                    ovr.wait_for(ovr.size)
+                    end = ovr.size
+            raw = isize_of(i, end)
+            if not plausible(start, end, raw):
+                bad = True
+                break
+            group.append((start, end, raw, raw_sum))
+            raw_sum += raw
+            start = end
+            if end >= ovr.size:
+                break
+        def repair_from(start_byte: int):
+            """Anomaly at/after start_byte: hand the remainder (plus
+            the carried tail) to the repairing generic path."""
+            ovr.wait_for(ovr.size)
+            parts = _inflated_parts_from(bytes(data), pool, start_byte)
             if carry is not None and len(carry):
                 from itertools import chain
                 parts = chain([carry.tobytes()], parts)
-            yield from _batches_from_parts(parts, target_bases)
+            return _batches_from_parts(parts, target_bases)
+
+        if bad:  # implausible member header/footer: don't touch it
+            yield from repair_from(a_start)
+            return
+        if not group:
+            break
+        b = a + len(group)
+        slab = np.empty(_SLAB_PAD + raw_sum, np.uint8)
+        ovr.wait_for(group[-1][1])  # all group bytes on hand
+        with stage("inflate", n_bytes=group[-1][1] - group[0][0]):
+            def _task(entry, idx):
+                m_start, m_end, m_raw, m_off = entry
+                if idx == 0 and a == 0:  # reuse the probe (ADVICE r3)
+                    slab[_SLAB_PAD: _SLAB_PAD + len(first)] = first
+                    return first_nl
+                return _inflate_member_into(
+                    data, m_start, m_end, slab, _SLAB_PAD + m_off,
+                    m_raw)
+            futs = [pool.submit(_task, entry, idx)
+                    for idx, entry in enumerate(group)]
+            counts = [f.result() for f in futs]
+        if min(counts) < 0:  # verify mismatch inside the group
+            yield from repair_from(a_start)
             return
         c_len = len(carry) if carry is not None else 0
         if c_len > _SLAB_PAD:  # giant entry: rare concatenate fallback
@@ -366,6 +533,9 @@ def _batch_arrays(path: str, target_bases: int,
         if cut:
             yield content[:cut]
         a = b
+        a_start = group[-1][1]
+        if a_start >= ovr.size:
+            break
     if carry is not None and len(carry):
         if carry[-1] != 10:
             carry = np.append(carry, np.uint8(10))

@@ -47,6 +47,7 @@ struct BitReader {
     int nbits = 0;
 
     void refill() {
+        if (nbits < 0) return;  // overrun: let the caller's check fire
         if (end - p >= 8) {
             uint64_t w;
             std::memcpy(&w, p, 8);
@@ -96,6 +97,10 @@ enum TableKind { KIND_PLAIN, KIND_LITLEN, KIND_DIST };
 
 constexpr uint32_t kLitBit = 0x40000000u;
 constexpr uint32_t kEobBit = 0x20000000u;
+// root-only: entry decodes TWO literals at once (byte0 in bits 8-15,
+// byte1 in bits 16-23, combined code length in the low 6 bits) — the
+// dominant case for DNA text whose literal codes are 2-4 bits
+constexpr uint32_t kLit2Bit = 0x10000000u;
 
 const uint16_t kLenBase[29] = {3, 4, 5, 6, 7, 8, 9, 10, 11, 13, 15, 17,
                                19, 23, 27, 31, 35, 43, 51, 59, 67, 83,
@@ -198,6 +203,28 @@ bool build_table(const uint8_t* lens, int n_syms, HuffTable* t,
                 t->sub[base + i] = entry;
         }
     }
+    // pass 3 (litlen only): fuse literal PAIRS whose combined code
+    // length fits the root index — one lookup then emits two bytes.
+    // Valid because root[idx >> l0]'s entry repeats at stride 2^l1, so
+    // when l0 + l1 <= kRootBits the second symbol is fully determined
+    // by the remaining root bits of idx.
+    if (kind == KIND_LITLEN) {
+        // read from a snapshot: fused entries must not feed the pass
+        uint32_t single[kRootSize];
+        std::memcpy(single, t->root, sizeof(single));
+        for (int idx = 0; idx < kRootSize; ++idx) {
+            uint32_t e0 = single[idx];
+            if ((e0 & (kLitBit | kLinkBit)) != kLitBit) continue;
+            int l0 = (int)(e0 & 0x3F);
+            uint32_t e1 = single[idx >> l0];
+            if ((e1 & (kLitBit | kLinkBit)) != kLitBit) continue;
+            int l1 = (int)(e1 & 0x3F);
+            if (l0 + l1 > kRootBits) continue;
+            t->root[idx] = kLitBit | kLit2Bit |
+                           (((e1 >> 8) & 0xFFu) << 16) |
+                           (e0 & 0xFF00u) | (uint32_t)(l0 + l1);
+        }
+    }
     return true;
 }
 
@@ -259,13 +286,29 @@ struct CrcTables {
 };
 
 // Table run over bytes from a RAW state (init/final complements are
-// the caller's affair).
+// the caller's affair).  When `count` is non-null, occurrences of
+// `value` are tallied in the same pass — the bytes are already in
+// registers, so the count is nearly free while a separate scan would
+// cost a full memory pass (this host is bandwidth-throttled).
 inline uint32_t crc32_table_run(const CrcTables& ct, uint32_t s,
-                                const uint8_t* p, long n) {
+                                const uint8_t* p, long n,
+                                int value = -1, long* count = nullptr) {
+    long cnt = 0;
     while (n >= 8) {
         uint32_t lo, hi;
         std::memcpy(&lo, p, 4);
         std::memcpy(&hi, p + 4, 4);
+        if (count) {
+            // SWAR equal-byte count: carry-free exact zero-byte mask
+            // (the (x-1)&~x variant miscounts after a borrow)
+            uint32_t v = 0x01010101u * (uint8_t)value;
+            uint32_t a = lo ^ v, b = hi ^ v;
+            uint32_t ma = ~((((a & 0x7F7F7F7Fu) + 0x7F7F7F7Fu) | a) |
+                            0x7F7F7F7Fu);
+            uint32_t mb = ~((((b & 0x7F7F7F7Fu) + 0x7F7F7F7Fu) | b) |
+                            0x7F7F7F7Fu);
+            cnt += __builtin_popcount(ma) + __builtin_popcount(mb);
+        }
         lo ^= s;
         s = ct.t[7][lo & 0xFF] ^ ct.t[6][(lo >> 8) & 0xFF] ^
             ct.t[5][(lo >> 16) & 0xFF] ^ ct.t[4][lo >> 24] ^
@@ -274,7 +317,11 @@ inline uint32_t crc32_table_run(const CrcTables& ct, uint32_t s,
         p += 8;
         n -= 8;
     }
-    while (n-- > 0) s = ct.t[0][(s ^ *p++) & 0xFF] ^ (s >> 8);
+    while (n-- > 0) {
+        if (count && *p == (uint8_t)value) ++cnt;
+        s = ct.t[0][(s ^ *p++) & 0xFF] ^ (s >> 8);
+    }
+    if (count) *count += cnt;
     return s;
 }
 
@@ -292,38 +339,69 @@ bool has_pclmul() {
 // Folds `n` = 64 + 16k bytes (seeded with the raw 32-bit state) down
 // to ONE 16-byte residue whose plain table-CRC from state 0 equals the
 // CRC of the whole input — no 128->32 Barrett step needed.
+// When `count` is non-null, occurrences of `value` among the REAL
+// input bytes are tallied in the same pass via cmpeq/psadbw (the fold
+// residue is state, not input, and is never counted).
 __attribute__((target("pclmul,sse4.1")))
 void crc32_fold_clmul(const uint8_t* p, long n, uint32_t seed,
-                      uint8_t out16[16]) {
+                      uint8_t out16[16], int value, long* count) {
     const __m128i k64 = _mm_set_epi64x(0x01c6e41596ll,   // x^(512-32)
                                        0x0154442bd4ll);  // x^(512+32)
     const __m128i k16 = _mm_set_epi64x(0x0ccaa009ell,    // x^(128-32)
                                        0x01751997d0ll);  // x^(128+32)
+    const __m128i needle = _mm_set1_epi8((char)value);
+    __m128i lane_cnt = _mm_setzero_si128();  // per-byte-lane tallies
+    __m128i total = _mm_setzero_si128();     // 64-bit lane totals
+    int rounds = 0;
     __m128i x0 = _mm_loadu_si128((const __m128i*)p);
     __m128i x1 = _mm_loadu_si128((const __m128i*)(p + 16));
     __m128i x2 = _mm_loadu_si128((const __m128i*)(p + 32));
     __m128i x3 = _mm_loadu_si128((const __m128i*)(p + 48));
+    if (count) {
+        lane_cnt = _mm_sub_epi8(lane_cnt, _mm_cmpeq_epi8(x0, needle));
+        lane_cnt = _mm_sub_epi8(lane_cnt, _mm_cmpeq_epi8(x1, needle));
+        lane_cnt = _mm_sub_epi8(lane_cnt, _mm_cmpeq_epi8(x2, needle));
+        lane_cnt = _mm_sub_epi8(lane_cnt, _mm_cmpeq_epi8(x3, needle));
+        rounds = 1;
+    }
     x0 = _mm_xor_si128(x0, _mm_cvtsi32_si128((int)seed));
     p += 64;
     n -= 64;
     while (n >= 64) {
+        __m128i t0 = _mm_loadu_si128((const __m128i*)p);
+        __m128i t1 = _mm_loadu_si128((const __m128i*)(p + 16));
+        __m128i t2 = _mm_loadu_si128((const __m128i*)(p + 32));
+        __m128i t3 = _mm_loadu_si128((const __m128i*)(p + 48));
+        if (count) {
+            lane_cnt = _mm_sub_epi8(lane_cnt,
+                                    _mm_cmpeq_epi8(t0, needle));
+            lane_cnt = _mm_sub_epi8(lane_cnt,
+                                    _mm_cmpeq_epi8(t1, needle));
+            lane_cnt = _mm_sub_epi8(lane_cnt,
+                                    _mm_cmpeq_epi8(t2, needle));
+            lane_cnt = _mm_sub_epi8(lane_cnt,
+                                    _mm_cmpeq_epi8(t3, needle));
+            if (++rounds >= 62) {  // 62 * 4 < 255: no lane overflow
+                total = _mm_add_epi64(
+                    total, _mm_sad_epu8(lane_cnt,
+                                        _mm_setzero_si128()));
+                lane_cnt = _mm_setzero_si128();
+                rounds = 0;
+            }
+        }
         __m128i y;
         y = _mm_clmulepi64_si128(x0, k64, 0x00);
         x0 = _mm_clmulepi64_si128(x0, k64, 0x11);
-        x0 = _mm_xor_si128(_mm_xor_si128(x0, y),
-                           _mm_loadu_si128((const __m128i*)p));
+        x0 = _mm_xor_si128(_mm_xor_si128(x0, y), t0);
         y = _mm_clmulepi64_si128(x1, k64, 0x00);
         x1 = _mm_clmulepi64_si128(x1, k64, 0x11);
-        x1 = _mm_xor_si128(_mm_xor_si128(x1, y),
-                           _mm_loadu_si128((const __m128i*)(p + 16)));
+        x1 = _mm_xor_si128(_mm_xor_si128(x1, y), t1);
         y = _mm_clmulepi64_si128(x2, k64, 0x00);
         x2 = _mm_clmulepi64_si128(x2, k64, 0x11);
-        x2 = _mm_xor_si128(_mm_xor_si128(x2, y),
-                           _mm_loadu_si128((const __m128i*)(p + 32)));
+        x2 = _mm_xor_si128(_mm_xor_si128(x2, y), t2);
         y = _mm_clmulepi64_si128(x3, k64, 0x00);
         x3 = _mm_clmulepi64_si128(x3, k64, 0x11);
-        x3 = _mm_xor_si128(_mm_xor_si128(x3, y),
-                           _mm_loadu_si128((const __m128i*)(p + 48)));
+        x3 = _mm_xor_si128(_mm_xor_si128(x3, y), t3);
         p += 64;
         n -= 64;
     }
@@ -340,18 +418,38 @@ void crc32_fold_clmul(const uint8_t* p, long n, uint32_t seed,
     x3 = _mm_xor_si128(_mm_xor_si128(x3, y), x2);
     // fold remaining whole 16-byte blocks
     while (n >= 16) {
+        __m128i t = _mm_loadu_si128((const __m128i*)p);
+        if (count) {
+            lane_cnt = _mm_sub_epi8(lane_cnt,
+                                    _mm_cmpeq_epi8(t, needle));
+            if (++rounds >= 62) {
+                total = _mm_add_epi64(
+                    total, _mm_sad_epu8(lane_cnt,
+                                        _mm_setzero_si128()));
+                lane_cnt = _mm_setzero_si128();
+                rounds = 0;
+            }
+        }
         y = _mm_clmulepi64_si128(x3, k16, 0x00);
         x3 = _mm_clmulepi64_si128(x3, k16, 0x11);
-        x3 = _mm_xor_si128(_mm_xor_si128(x3, y),
-                           _mm_loadu_si128((const __m128i*)p));
+        x3 = _mm_xor_si128(_mm_xor_si128(x3, y), t);
         p += 16;
         n -= 16;
+    }
+    if (count) {
+        total = _mm_add_epi64(
+            total, _mm_sad_epu8(lane_cnt, _mm_setzero_si128()));
+        *count += (long)(_mm_cvtsi128_si64(total) +
+                         _mm_extract_epi64(total, 1));
     }
     _mm_storeu_si128((__m128i*)out16, x3);
 }
 #endif
 
-uint32_t crc32_fast(const uint8_t* p, long n, uint32_t crc) {
+// CRC over p[0:n]; when `count` is non-null, also tallies occurrences
+// of `value` in the same memory pass.
+uint32_t crc32_count(const uint8_t* p, long n, uint32_t crc,
+                     int value, long* count) {
     static const CrcTables ct;
     uint32_t s = ~crc;
 #if defined(__x86_64__)
@@ -359,14 +457,18 @@ uint32_t crc32_fast(const uint8_t* p, long n, uint32_t crc) {
     if (use_clmul && n >= 128) {
         long main_n = 64 + (((n - 64) >> 4) << 4);  // 64 + 16k bytes
         uint8_t residue[16];
-        crc32_fold_clmul(p, main_n, s, residue);
+        crc32_fold_clmul(p, main_n, s, residue, value, count);
         p += main_n;
         n -= main_n;
-        s = crc32_table_run(ct, 0, residue, 16);
+        s = crc32_table_run(ct, 0, residue, 16);  // state: never counted
     }
 #endif
-    s = crc32_table_run(ct, s, p, n);
+    s = crc32_table_run(ct, s, p, n, value, count);
     return ~s;
+}
+
+uint32_t crc32_fast(const uint8_t* p, long n, uint32_t crc) {
+    return crc32_count(p, n, crc, -1, nullptr);
 }
 
 constexpr long ERR_FORMAT = -1;
@@ -466,19 +568,26 @@ long inflate_raw(const uint8_t* in, long in_len, uint8_t* out,
                     return ERR_FORMAT;
                 uint32_t e = decode_entry(lt, br);
                 if (e & kLitBit) {
-                    // fast path: up to two more literals on these bits
-                    // (3 x 15 = 45 <= 56; the entry carries the byte)
+                    // fast path: three entries on these bits, each
+                    // emitting 1-2 bytes (worst case 3 x 15 = 45 bits
+                    // <= 56; a FUSED pair entry is <= kRootBits)
                     br.drop((int)(e & 0x3F));
-                    if (o + 3 <= o_end) {
-                        *o++ = (uint8_t)(e >> 8);
+                    if (o + 8 <= o_end) {
+                        o[0] = (uint8_t)(e >> 8);
+                        o[1] = (uint8_t)(e >> 16);
+                        o += 1 + ((e >> 28) & 1);
                         e = decode_entry(lt, br);
                         if (e & kLitBit) {
                             br.drop((int)(e & 0x3F));
-                            *o++ = (uint8_t)(e >> 8);
+                            o[0] = (uint8_t)(e >> 8);
+                            o[1] = (uint8_t)(e >> 16);
+                            o += 1 + ((e >> 28) & 1);
                             e = decode_entry(lt, br);
                             if (e & kLitBit) {
                                 br.drop((int)(e & 0x3F));
-                                *o++ = (uint8_t)(e >> 8);
+                                o[0] = (uint8_t)(e >> 8);
+                                o[1] = (uint8_t)(e >> 16);
+                                o += 1 + ((e >> 28) & 1);
                                 continue;
                             }
                         }
@@ -486,6 +595,10 @@ long inflate_raw(const uint8_t* in, long in_len, uint8_t* out,
                     } else {
                         if (o >= o_end) return ERR_OUTPUT_FULL;
                         *o++ = (uint8_t)(e >> 8);
+                        if (e & kLit2Bit) {
+                            if (o >= o_end) return ERR_OUTPUT_FULL;
+                            *o++ = (uint8_t)(e >> 16);
+                        }
                         continue;
                     }
                 }
@@ -517,10 +630,17 @@ long inflate_raw(const uint8_t* in, long in_len, uint8_t* out,
                     if (o + length > o_end) return ERR_OUTPUT_FULL;
                     const uint8_t* src = o - dist;
                     uint8_t* stop = o + length;
-                    if (dist >= 8 && o_end - stop >= 8) {
-                        // 8-wise with rounded-up tail: the <=7 bytes
+                    if (dist >= 16 && o_end - stop >= 16) {
+                        // 16-wise with rounded-up tail: the <=15 bytes
                         // written past `stop` are scratch that later
                         // output overwrites (slack checked above)
+                        do {
+                            std::memcpy(o, src, 16);
+                            o += 16;
+                            src += 16;
+                        } while (o < stop);
+                        o = stop;
+                    } else if (dist >= 8 && o_end - stop >= 8) {
                         do {
                             std::memcpy(o, src, 8);
                             o += 8;
@@ -547,16 +667,9 @@ long inflate_raw(const uint8_t* in, long in_len, uint8_t* out,
     return (long)(o - out);
 }
 
-}  // namespace
-
-extern "C" {
-
-// Inflate every gzip member in in[0:n] into out[0:out_cap].
-// Returns total decompressed bytes; negative on error:
-//   -1 malformed, -2 out_cap too small (caller grows + retries),
-//   -3 CRC/ISIZE mismatch (when verify != 0).
-long gzip_inflate_all(const uint8_t* in, long n, uint8_t* out,
-                      long out_cap, int verify) {
+long gzip_inflate_impl(const uint8_t* in, long n, uint8_t* out,
+                       long out_cap, int verify, int count_value,
+                       long* count_out) {
     long ipos = 0;
     long opos = 0;
     while (ipos < n) {
@@ -593,13 +706,41 @@ long gzip_inflate_all(const uint8_t* in, long n, uint8_t* out,
             std::memcpy(&crc, in + p, 4);
             std::memcpy(&isize, in + p + 4, 4);
             if (isize != (uint32_t)written) return ERR_CRC;
-            if (crc32_fast(out + opos, written, 0) != crc)
+            if (crc32_count(out + opos, written, 0, count_value,
+                            count_out) != crc)
                 return ERR_CRC;
+        } else if (count_out) {
+            crc32_count(out + opos, written, 0, count_value, count_out);
         }
         opos += written;
         ipos = p + 8;
     }
     return opos;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Inflate every gzip member in in[0:n] into out[0:out_cap].
+// Returns total decompressed bytes; negative on error:
+//   -1 malformed, -2 out_cap too small (caller grows + retries),
+//   -3 CRC/ISIZE mismatch (when verify != 0).
+long gzip_inflate_all(const uint8_t* in, long n, uint8_t* out,
+                      long out_cap, int verify) {
+    return gzip_inflate_impl(in, n, out, out_cap, verify, -1, nullptr);
+}
+
+// gzip_inflate_all with verification AND a fused byte-value count:
+// occurrences of `count_value` in the decompressed output are tallied
+// during the CRC pass (one memory pass instead of two on this
+// bandwidth-throttled host class) and stored to *count_out.
+long gzip_inflate_count(const uint8_t* in, long n, uint8_t* out,
+                        long out_cap, int count_value,
+                        long* count_out) {
+    *count_out = 0;
+    return gzip_inflate_impl(in, n, out, out_cap, 1, count_value,
+                             count_out);
 }
 
 }  // extern "C"
