@@ -122,21 +122,48 @@ class GenomicSequenceDict(GenomicSequence):
             self._flat_cache = (flat, offsets)
         return self._flat_cache
 
-    def _chromosome_offsets(self, chrom, n: int) -> np.ndarray:
-        """Per-interval base offset of each interval's chromosome in
-        the concatenated buffer."""
+    def _chromosome_tables(self, chrom):
+        """(base offset, chromosome length) per entry, from either a
+        StringEncoding-coded or plain string chromosome column."""
         from ..encodings.string_encodings import StringEncoding
         _, offsets = self._flat_codes
+        lengths = {name: len(seq) for name, seq in self._dict.items()}
         if hasattr(chrom, "encoding") and \
                 isinstance(chrom.encoding, StringEncoding):
             labels = chrom.encoding.get_labels()
-            table = np.array([offsets[label] for label in labels],
-                             np.int64)
-            return table[np.asarray(chrom.raw())]
+            ids = np.asarray(chrom.raw())
+            base = np.array([offsets[label] for label in labels],
+                            np.int64)[ids]
+            size = np.array([lengths[label] for label in labels],
+                            np.int64)[ids]
+            return base, size
         names = np.asarray([str(s) for s in chrom.tolist()])
         uniq, inverse = np.unique(names, return_inverse=True)
-        table = np.array([offsets[u] for u in uniq], np.int64)
-        return table[inverse]
+        base = np.array([offsets[u] for u in uniq], np.int64)[inverse]
+        size = np.array([lengths[u] for u in uniq], np.int64)[inverse]
+        return base, size
+
+    def _chromosome_offsets(self, chrom, n: int) -> np.ndarray:
+        """Per-interval base offset of each interval's chromosome in
+        the concatenated buffer."""
+        return self._chromosome_tables(chrom)[0]
+
+    def window_matrix(self, chrom, positions: np.ndarray,
+                      flank: int):
+        """Fixed-width (n, 2*flank+1) window gather centered on
+        `positions` — the SBS96 fast path.  None when any window would
+        cross a chromosome boundary (callers fall back to the clipped
+        interval machinery)."""
+        flat, _ = self._flat_codes
+        positions = np.asarray(positions, np.int64)
+        if len(positions) == 0:
+            return None
+        base, size = self._chromosome_tables(chrom)
+        if int(positions.min()) < flank or \
+                np.any(positions + flank >= size):
+            return None
+        idx = (base + positions)[:, None] + np.arange(-flank, flank + 1)
+        return EncodedArray(flat[idx], ACGTnEncoding)
 
     def _extract_intervals(self, intervals):
         from ..ragged import RaggedView

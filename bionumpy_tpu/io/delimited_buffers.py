@@ -50,10 +50,13 @@ class DelimitedBuffer(FileBuffer):
     @classmethod
     def from_raw_buffer(cls, chunk: np.ndarray,
                         header_data=None) -> "DelimitedBuffer":
+        from ..native import find_positions
         chunk = EncodedArray(chunk, BaseEncoding)
         raw = chunk.raw()
-        mask = (raw == ord(NEWLINE)) | (raw == ord(cls.DELIMITER))
-        delimiters = np.flatnonzero(mask)
+        # ONE native SIMD pass for the newline+delimiter positions (the
+        # numpy compare-or-nonzero chain is 3 passes over the chunk)
+        delimiters = find_positions(raw, ord(NEWLINE),
+                                    ord(cls.DELIMITER))
         entry_ends = np.flatnonzero(raw[delimiters] == ord("\n"))
         if entry_ends.size == 0:
             logger.warning("Found no newlines; chunk size may be too low")

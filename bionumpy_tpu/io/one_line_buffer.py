@@ -47,7 +47,8 @@ class OneLineBuffer(FileBuffer):
     def from_raw_buffer(cls, chunk, header_data=None) -> "OneLineBuffer":
         assert header_data is None
         chunk = EncodedArray(chunk, BaseEncoding)
-        new_lines = np.flatnonzero(chunk.raw() == ord(NEWLINE))
+        from ..native import find_positions
+        new_lines = find_positions(chunk.raw(), ord(NEWLINE))
         n_lines = new_lines.size
         if n_lines < cls.n_lines_per_entry:
             raise IncompleteEntryException(

@@ -281,4 +281,25 @@ def open_gzip(path: str, n_threads: int = 2, max_in_memory: int = 1 << 31):
         if raw is not None:
             return io.BytesIO(raw)
         return _gzip.open(path, "rb")
+    # multi-member with a trustworthy ISIZE table and a bounded raw
+    # size: inflate EVERY member in parallel straight into one buffer
+    # (the member-window streaming path costs an extra copy chain)
+    from ..pipeline import _member_table
+    tbl = _member_table(data)
+    if tbl is not None and int(tbl[1].sum()) <= max_in_memory:
+        from .. import native
+        bounds, isz = tbl
+        raw_off = np.insert(np.cumsum(isz), 0, 0)
+        out = np.empty(int(raw_off[-1]), np.uint8)
+        pool = ThreadPoolExecutor(max(n_threads, 2))
+        try:
+            futs = [pool.submit(native.gzip_inflate_into, data,
+                                int(bounds[i]), int(bounds[i + 1]),
+                                out, int(raw_off[i]), int(isz[i]))
+                    for i in range(len(isz))]
+            ok = all(f.result() for f in futs)
+        finally:
+            pool.shutdown(wait=False)
+        if ok:
+            return io.BytesIO(out.tobytes())
     return _ParallelMemberStream(data, offsets, n_threads=n_threads)

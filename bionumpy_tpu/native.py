@@ -80,6 +80,18 @@ def _load():
     lib.count_byte.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_long, ctypes.c_uint8,
         ctypes.c_int]
+    lib.copy_2bit_shifted.restype = None
+    lib.copy_2bit_shifted.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_long]
+    lib.count_two_bytes.restype = ctypes.c_long
+    lib.count_two_bytes.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_long, ctypes.c_uint8,
+        ctypes.c_uint8]
+    lib.find_two_bytes.restype = ctypes.c_long
+    lib.find_two_bytes.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_long, ctypes.c_uint8,
+        ctypes.c_uint8, ctypes.POINTER(ctypes.c_int64)]
     _lib = lib
     return _lib
 
@@ -374,6 +386,47 @@ def gzip_inflate_count_into(data, start: int, end: int, out: np.ndarray,
     res = lib.gzip_inflate_count(src, end - start, dst, expect, value,
                                  ctypes.byref(cnt))
     return int(cnt.value) if res == expect else -1
+
+
+def find_positions(buf: np.ndarray, value_a: int,
+                   value_b: int = None) -> np.ndarray:
+    """Positions of bytes equal to value_a (or value_b) in a contiguous
+    uint8 buffer, as int64 — the SIMD twin of
+    np.flatnonzero((buf == a) | (buf == b)), ~10x faster than the
+    elementwise compare chain on a bandwidth-throttled host.  Falls
+    back to numpy when the native library is missing."""
+    lib = _load()
+    buf = np.ascontiguousarray(buf, dtype=np.uint8)
+    if value_b is None:
+        value_b = value_a
+    if lib is None:
+        if value_a == value_b:
+            return np.flatnonzero(buf == value_a).astype(np.int64)
+        return np.flatnonzero((buf == value_a)
+                              | (buf == value_b)).astype(np.int64)
+    p = buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    n = lib.count_two_bytes(p, len(buf), value_a, value_b)
+    out = np.empty(n, dtype=np.int64)
+    lib.find_two_bytes(p, len(buf), value_a, value_b,
+                       out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    return out
+
+
+def copy_2bit_shifted(src: np.ndarray, n_bases: int, dst: np.ndarray,
+                      dst_base_off: int) -> bool:
+    """Append a 2-bit-packed stream (src, from base 0) into dst at base
+    offset dst_base_off.  Streams must append left-to-right (bytes past
+    the first touched byte are overwritten).  False when the native
+    library is missing."""
+    lib = _load()
+    if lib is None:
+        return False
+    lib.copy_2bit_shifted(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        int(n_bases),
+        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        int(dst_base_off))
+    return True
 
 
 def pack_2bit(codes: np.ndarray) -> np.ndarray:

@@ -272,6 +272,68 @@ _SLAB_PAD = 1 << 20
 _READ_CHUNK = 4 << 20
 _GZ_MAGIC = b"\x1f\x8b\x08"
 
+# thread-local reusable inflate buffers for the fused member-parse path
+import threading as _threading  # noqa: E402
+
+_fuse_tls = _threading.local()
+
+
+def _fused_member_task(data, start: int, end: int, expect: int):
+    """Inflate ONE gzip member into a thread-local buffer and parse it
+    to packed words while its bytes are cache-warm — the raw slab never
+    exists, cutting DRAM passes from 3 to ~1 on this bandwidth-
+    throttled host.  Only valid for ENTRY-ALIGNED members (complete
+    4-line records): returns (packed u8, lengths i32, n_bases, nl) or
+    None when the member fails any alignment/structure check (caller
+    falls back to the slab path)."""
+    buf = getattr(_fuse_tls, "buf", None)
+    if buf is None or len(buf) < expect:
+        buf = np.empty(max(expect, 1 << 20), np.uint8)
+        _fuse_tls.buf = buf
+    nl = native.gzip_inflate_count_into(data, start, end, buf, 0,
+                                        expect)
+    if nl < 0:
+        return None
+    return _parse_member(buf[:expect], nl)
+
+
+def _parse_member(raw: np.ndarray, nl: int):
+    """Validate + parse one member's raw bytes; None unless the member
+    is a whole number of structurally valid 4-line entries."""
+    if nl % 4 or len(raw) == 0 or raw[0] != 64 or raw[-1] != 10:
+        return None
+    try:
+        packed, lengths, n_bases = native.fastq_parse_pack(
+            raw, out_bytes=len(raw) // 4 + 16, n_threads=1)
+    except ValueError:
+        return None
+    return packed, lengths, n_bases, nl
+
+
+def _assemble_fused(outs):
+    """Stitch per-member (packed, lengths, n_bases) into ONE bucketed
+    batch: bit-shifted appends over PACKED data (0.25 B/base), the
+    same (words, ends, n_bases, n_reads) contract as _parse_batch."""
+    from .ops.device import bucket_size
+    from .ops.kmers import WORD_BASES
+    pad_words = 2 * (WORD_BASES // 4)
+    n_bases = sum(o[2] for o in outs)
+    bucket = bucket_size(max(n_bases, 1), 1 << 14)
+    words_u8 = np.zeros(bucket // 4 + pad_words, np.uint8)
+    with stage("stitch", n_bytes=n_bases // 4):
+        off = 0
+        for packed, _lengths, nb, _nl in outs:
+            native.copy_2bit_shifted(packed, nb, words_u8, off)
+            off += nb
+        lengths = np.concatenate([o[1] for o in outs])
+    ends = np.cumsum(lengths, dtype=np.int64).astype(np.int32)
+    rows_bucket = bucket_size(max(len(ends), 1), 4096)
+    if len(ends) < rows_bucket:
+        pad = np.full(rows_bucket - len(ends),
+                      ends[-1] if len(ends) else 0, np.int32)
+        ends = np.concatenate([ends, pad])
+    return words_u8.view(np.uint32), ends, n_bases, len(lengths)
+
 
 class _OverlappedRead:
     """Background whole-file read into one buffer with a wait-for-
@@ -376,9 +438,13 @@ def _tail_entry_cut(view: np.ndarray, n_newlines: int) -> int:
 
 
 def _batch_arrays(path: str, target_bases: int,
-                  pool: ThreadPoolExecutor):
+                  pool: ThreadPoolExecutor, fused_parse: bool = False):
     """Fast ingest: yield entry-aligned inflated FASTQ batches as uint8
-    arrays (member-table path) or bytes (generic carry path).
+    arrays (member-table path) or bytes (generic carry path).  With
+    `fused_parse`, ENTRY-ALIGNED member layouts short-circuit to
+    pre-parsed (words, ends, n_bases, n_reads) tuples (the
+    _parse_batch contract) built member-by-member while cache-warm;
+    any misaligned member drops the file back to the raw slab path.
 
     Multi-member gzip (pigz-style output, the common case for large
     FASTQ) carries each member's raw size in its ISIZE footer, so the
@@ -458,6 +524,7 @@ def _batch_arrays(path: str, target_bases: int,
     a = 0
     a_start = 0
     bad = False    # implausible member seen: fall back from member a
+    use_fused = bool(fused_parse) and native._load() is not None
     while True:
         # collect the group [a, b): members until target_raw raw bytes
         group = []     # (start, end, isize, raw offset in group)
@@ -501,6 +568,26 @@ def _batch_arrays(path: str, target_bases: int,
         if not group:
             break
         b = a + len(group)
+        if use_fused and (carry is None or len(carry) == 0):
+            ovr.wait_for(group[-1][1])
+            with stage("inflate+parse",
+                       n_bytes=group[-1][1] - group[0][0]):
+                futs = [
+                    pool.submit(_parse_member, first, first_nl)
+                    if (idx == 0 and a == 0) else
+                    pool.submit(_fused_member_task, data, s, e, r)
+                    for idx, (s, e, r, _off) in enumerate(group)]
+                outs = [f.result() for f in futs]
+            if all(o is not None for o in outs):
+                yield _assemble_fused(outs)
+                a = b
+                a_start = group[-1][1]
+                if a_start >= ovr.size:
+                    return
+                continue
+            # a member isn't entry-aligned (pigz-style layout): use
+            # the raw slab path from here on
+            use_fused = False
         slab = np.empty(_SLAB_PAD + raw_sum, np.uint8)
         ovr.wait_for(group[-1][1])  # all group bytes on hand
         with stage("inflate", n_bytes=group[-1][1] - group[0][0]):
@@ -598,7 +685,10 @@ def _prefetched(gen: Iterator, depth: int = 2) -> Iterator:
 
 def _parse_batch(raw) -> Tuple[np.ndarray, np.ndarray, int, int]:
     """(bucketed packed words uint32, ends int32, n_bases, n_reads).
-    `raw` is a complete-entry FASTQ batch: bytes or a uint8 array."""
+    `raw` is a complete-entry FASTQ batch: bytes or a uint8 array —
+    or already that tuple (the fused ingest path pre-parses)."""
+    if isinstance(raw, tuple):
+        return raw
     from .ops.device import bucket_size
     from .ops.kmers import WORD_BASES
     pad_words = 2 * (WORD_BASES // 4)
@@ -919,6 +1009,8 @@ def count_kmers_fastq(path: str, k: int = 31, cap: int = 1 << 20,
         resolve_some()
 
     def prep(mode, raw):
+        if isinstance(raw, tuple):  # fused ingest: already parsed
+            return "packed", raw
         if mode == "packed":
             return mode, _parse_batch(raw)
         return mode, _pad_raw_batch(raw)
@@ -935,7 +1027,9 @@ def count_kmers_fastq(path: str, k: int = 31, cap: int = 1 << 20,
 
     batch_times = {}
     try:
-        batches = _prefetched(_batch_arrays(path, target_bases, pool))
+        batches = _prefetched(_batch_arrays(
+            path, target_bases, pool,
+            fused_parse=(modes != "device")))
         prep_fut = None
         chosen = modes
         i = 0

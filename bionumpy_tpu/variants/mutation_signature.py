@@ -123,6 +123,25 @@ def count_mutation_types_genomic(variants, reference, flank: int = 1,
     snp_mask = (np.asarray(alt_lens) == 1) & (np.asarray(ref_lens) == 1)
     snps = variants[snp_mask]
     ref_seq = snps.get_data_field("ref_seq")
+    if not genotyped and genotypes is None and \
+            hasattr(reference, "window_matrix"):
+        # dict-backed reference: ONE fixed-width gather around the SNP
+        # positions replaces the interval-window machinery (exactness
+        # pinned by tests/golden/sbs96_vector.json); falls through when
+        # a window would cross a chromosome edge
+        try:
+            chrom = snps.get_data_field("chromosome")
+            positions = np.asarray(snps.get_data_field("position"))
+        except (AttributeError, KeyError, TypeError):
+            chrom = None
+        if chrom is not None:
+            kmers = reference.window_matrix(chrom, positions, flank)
+            if kmers is not None:
+                mask = ~np.any(np.asarray(kmers == "N"), axis=-1)
+                hashes = encode_snps(
+                    kmers[mask], snps[mask].get_data_field("alt_seq"),
+                    ref_seq[mask])
+                return count_encoded(hashes)
     windows = snps.get_windows(flank=flank)
     kmers = reference[windows]
     if hasattr(kmers, "ravel") and hasattr(kmers, "lengths"):

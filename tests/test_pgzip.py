@@ -89,8 +89,16 @@ def test_open_gzip_multimember(tmp_path):
     path = tmp_path / "multi.fq.gz"
     path.write_bytes(b"".join(_gz(p) for p in PAYLOADS))
     f = pgzip.open_gzip(str(path))
-    assert isinstance(f, pgzip._ParallelMemberStream)
+    # small plausible members materialize into one parallel-inflated
+    # buffer; the streaming member window remains the fallback
     assert f.read() == b"".join(PAYLOADS)
+    # an implausible ISIZE table must still stream (and stay exact)
+    data = bytearray(path.read_bytes())
+    data[-4:] = (123456789).to_bytes(4, "little")
+    bad = path.parent / "bad_tail.fq.gz"
+    bad.write_bytes(bytes(data))
+    g = pgzip.open_gzip(str(bad))
+    assert isinstance(g, pgzip._ParallelMemberStream)
 
 
 def test_open_gzip_single_member_falls_back(tmp_path):

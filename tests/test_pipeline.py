@@ -88,7 +88,9 @@ def test_instrument_stages_recorded():
     instrument.reset()
     count_kmers_fastq(BIG_FQ, 31)
     rep = instrument.report()
-    for name in ("read", "parse+pack", "H2D", "dispatch",
+    # fused ingest: inflate+parse and stitch replace the raw slab's
+    # separate inflate / parse+pack stages
+    for name in ("read", "inflate+parse", "stitch", "H2D", "dispatch",
                  "device-merge", "D2H-meta", "D2H-table"):
         assert name in rep, (name, rep)
     assert instrument.summary(total=1.0)

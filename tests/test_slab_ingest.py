@@ -135,3 +135,43 @@ def test_member_zero_probe_reused(layouts):
         pool.shutdown(wait=False)
     assert out == full
     assert calls.count(0) == 1  # probe only; not re-inflated into slab
+
+
+def test_fused_parse_matches_raw_parse(layouts):
+    """The fused member-parse ingest (fused_parse=True) yields the same
+    parsed batches as _parse_batch over the raw slab path for an
+    entry-aligned layout, and falls back transparently for pigz-style
+    members cut mid-record."""
+    from bionumpy_tpu.pipeline import _parse_batch
+    full, paths = layouts
+    for layout in ("multi", "pigz"):
+        pool = ThreadPoolExecutor(2)
+        try:
+            raw_batches = [
+                _parse_batch(b) for b in _batch_arrays(
+                    paths[layout], 1 << 19, ThreadPoolExecutor(2))]
+            fused_batches = [
+                _parse_batch(b) for b in _batch_arrays(
+                    paths[layout], 1 << 19, pool, fused_parse=True)]
+        finally:
+            pool.shutdown(wait=False)
+        assert len(raw_batches) == len(fused_batches)
+        for (w1, e1, nb1, nr1), (w2, e2, nb2, nr2) in zip(
+                raw_batches, fused_batches):
+            assert (nb1, nr1) == (nb2, nr2)
+            np.testing.assert_array_equal(w1, w2)
+            np.testing.assert_array_equal(e1, e2)
+
+
+def test_fused_counts_identical(layouts):
+    """count_kmers_fastq over the fused ingest equals the generic
+    layouts' counts (the fused path is its default for aligned
+    files)."""
+    _, paths = layouts
+    c1, s1 = count_kmers_fastq(paths["multi"], 31, cap=1 << 18,
+                               target_bases=1 << 19)
+    c2, s2 = count_kmers_fastq(paths["single"], 31, cap=1 << 18,
+                               target_bases=1 << 19)
+    assert s1["n_kmers"] == s2["n_kmers"]
+    assert np.array_equal(c1.label_codes, c2.label_codes)
+    assert np.array_equal(c1.counts, c2.counts)

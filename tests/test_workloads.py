@@ -145,6 +145,8 @@ def test_config5_sbs96_and_intersect(example_data):
             self._loc, self._var = loc, var
 
         def get_data_field(self, name):
+            if name in ("chromosome", "position"):
+                return getattr(self._loc, name)
             return getattr(self._var, name)
 
         def __getitem__(self, idx):
