@@ -264,7 +264,13 @@ def config3():
 
     tbl, gc = job()  # warmup + compile
     reset_transfer_counters()
+    # INTERLEAVED framework/baseline runs: this host's cgroup throttle
+    # oscillates on a minutes scale (the same numpy job has measured
+    # 12.7s and 41.9s), so back-to-back blocks hand whichever side runs
+    # while the budget is replenished an unearned win; alternating runs
+    # give both sides the same weather (min-of each)
     times = []
+    base_times = []
     extra = 3
     n_runs = 0
     while len(times) < TIMED_ITERS:
@@ -279,7 +285,14 @@ def config3():
             extra -= 1
             continue
         times.append(dt)
+        if len(base_times) < 2:
+            t0 = time.perf_counter()
+            numpy_minimizer_job(flat, lengths, k, w - k + 1)
+            np.add.reduceat((flat == 1) | (flat == 2),
+                            np.arange(0, len(flat), 1000))
+            base_times.append(time.perf_counter() - t0)
     t = min(times)
+    t_base = min(base_times)
     assert resident.TRANSFER_COUNT == n_runs, \
         (resident.TRANSFER_COUNT, n_runs)  # one upload shared per run
 
@@ -290,17 +303,8 @@ def config3():
     gc_exp = np.add.reduceat((flat == 1) | (flat == 2),
                              np.arange(0, len(flat), 1000))
     assert np.array_equal(gc, gc_exp)
-
-    base_times = []
-    for _ in range(2):
-        t0 = time.perf_counter()
-        numpy_minimizer_job(flat, lengths, k, w - k + 1)
-        np.add.reduceat((flat == 1) | (flat == 2),
-                        np.arange(0, len(flat), 1000))
-        base_times.append(time.perf_counter() - t0)
-    t_base = min(base_times)
     _emit(f"config3 distinct-minimizer(k=21,w=10) count table + GC "
-          f"track on sacCer3 ({n_bases / 1e6:.1f} Mbases, "
+          f"track, 8 sacCer3 strain variants ({n_bases / 1e6:.1f} Mbases, "
           f"{len(exp_h)} distinct, one shared H2D, table+track exact; "
           f"numpy 1-core {t_base:.1f}s)",
           round(n_bases / t / 1e6, 2), "Mbases/s", round(t_base / t, 2))
