@@ -92,3 +92,23 @@ def sharded_pileup_step(mesh: Mesh, n_positions: int):
         return jnp.cumsum(merged)
 
     return jax.jit(step)
+
+
+def sharded_binned_pileup_step(mesh: Mesh, n_bins: int, bin_size: int):
+    """Interval shards -> replicated BINNED coverage track (covered
+    bases per bin): each shard computes its binned_pileup partial, a
+    psum merges them — the psum-able form of the reference's
+    whole-genome pileup at genome scale (dense positions never
+    materialize; reference algorithm:
+    bionumpy/arithmetics/intervals.py:137-163)."""
+    from ..ops.tracks import binned_pileup
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P("dp", None), P("dp", None), P("dp", None)),
+             out_specs=P())
+    def step(starts_b, stops_b, valid_b):
+        part = binned_pileup(starts_b[0], stops_b[0], valid_b[0],
+                             n_bins, bin_size)
+        return jax.lax.psum(part, "dp")
+
+    return jax.jit(step)

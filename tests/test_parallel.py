@@ -333,3 +333,36 @@ def test_get_motif_matches_fastq_mesh_exact(example_data):
     # golden threshold must match for the subset comparison to hold
     assert golden["threshold"] == threshold
     assert got_first == golden["matches"]
+
+
+def test_binned_pileup_bed_mesh_exact(example_data):
+    """Mesh-composed whole-genome binned pileup from a real BED file
+    equals an independent per-chromosome numpy recompute."""
+    from bionumpy_tpu.parallel import create_mesh
+    from bionumpy_tpu.pipeline import binned_pileup_bed
+
+    chroms = {"chr21": 46709983, "chr22": 50818468}
+    bin_size = 1000
+    mesh = create_mesh(4)
+    path = str(example_data / "ctcf_chr21-22.bed.gz")
+    tracks, stats = binned_pileup_bed(path, chroms, bin_size=bin_size,
+                                      mesh=mesh)
+    import bionumpy_tpu as bnp
+    bed = bnp.open(path).read()
+    total_check = 0
+    for name, size in chroms.items():
+        sel = np.asarray(bed.chromosome.tolist()) == name
+        starts = np.asarray(bed.start)[sel]
+        stops = np.asarray(bed.stop)[sel]
+        diff = np.zeros(size + 1, np.int64)
+        np.add.at(diff, starts, 1)
+        np.add.at(diff, stops, -1)
+        dense = np.cumsum(diff[:-1])
+        pad = (-size) % bin_size
+        want = np.concatenate([dense, np.zeros(pad, np.int64)]) \
+            .reshape(-1, bin_size).sum(axis=-1)
+        np.testing.assert_array_equal(tracks[name], want)
+        total_check += int(want.sum())
+    assert total_check == sum(
+        int(x.sum()) for x in tracks.values())
+    assert stats["n_intervals"] == len(bed)
