@@ -68,6 +68,8 @@ from .genomic_data import Genome, GenomicArray, GenomicIntervals
 from .io.matrix_dump import Matrix
 from .cli import CliWrapper, run_as_commandline
 from .plotting import plot
+from .pipeline import (binned_pileup_bed, count_kmers_fastq,
+                       count_minimizers_fastq, get_motif_matches_fastq)
 
 open = bnp_open
 
@@ -93,6 +95,8 @@ __all__ += [
     "Bed6", "GFFEntry", "LocationEntry", "arithmetics", "alignments",
     "variants", "simulate", "CliWrapper", "run_as_commandline",
     "get_bufferclass_for_datatype", "TwoLineFastaBuffer", "FastQBuffer",
+    "count_kmers_fastq", "count_minimizers_fastq",
+    "get_motif_matches_fastq", "binned_pileup_bed",
     "MultiLineFastaBuffer", "BedBuffer", "Bed6Buffer", "NarrowPeakBuffer",
     "GfaSequenceBuffer", "GFFBuffer", "SAMBuffer", "KmerEncoder",
     "Minimizers", "PositionWeightMatrix",
