@@ -191,3 +191,8 @@ def test_forbes_example(example_data):
                              str(example_data / "ctcf.bed.gz"),
                              str(example_data / "znf263.bed.gz"))
     assert value > 1  # co-occurring TF binding sites
+
+
+def test_mesh_pipelines_example():
+    from mesh_pipelines import main
+    main(4)  # tests/conftest provides the 8-virtual-device CPU mesh
