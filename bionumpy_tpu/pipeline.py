@@ -819,7 +819,7 @@ def count_kmers_fastq(path: str, k: int = 31, cap: int = 1 << 20,
                       target_bases: int = TARGET_BUCKET - (1 << 21),
                       device=None, n_threads: int = None,
                       device_parse="auto", acc_cap: int = None,
-                      mesh=None):
+                      mesh=None, spill_windows: int = None):
     """Count all k-mers in a FASTQ file (optionally multi-member gzip),
     overlapping host inflate/parse with device counting.
 
@@ -877,6 +877,8 @@ def count_kmers_fastq(path: str, k: int = 31, cap: int = 1 << 20,
     spilled = (np.empty(0, np.uint64), np.empty(0, np.int64))
     n_reads = n_bases = n_kmers = 0
     kmers_in_acc = 0
+    n_folds = 0
+    last_spill_fold = -1
 
     def count_packed(words, ends, nb, batch_cap):
         with stage("H2D", n_bytes=words.nbytes + ends.nbytes):
@@ -906,7 +908,7 @@ def count_kmers_fastq(path: str, k: int = 31, cap: int = 1 << 20,
         length), so the exposed end-of-stream fold sorts
         acc_cap + next_pow2(r)*cap rows instead of always
         acc_cap + ACC_FOLD*cap."""
-        nonlocal acc, acc_nu
+        nonlocal acc, acc_nu, n_folds
         while len(pending) >= ACC_FOLD or (force and pending):
             batch, rest = pending[:ACC_FOLD], pending[ACC_FOLD:]
             arity = ACC_FOLD if not force or rest else \
@@ -916,6 +918,7 @@ def count_kmers_fastq(path: str, k: int = 31, cap: int = 1 << 20,
             with stage("device-fold"):
                 acc, acc_nu = fold_program(acc, tuple(batch), acc_cap)
             pending[:] = rest
+            n_folds += 1
             if not force:
                 break
 
@@ -924,7 +927,8 @@ def count_kmers_fastq(path: str, k: int = 31, cap: int = 1 << 20,
         (guards the int32 count cumsum in merge_hash_tables)."""
         nonlocal acc, acc_nu, spilled, kmers_in_acc
         fold_pending(force=True)
-        h, c = _fetch_acc(acc, acc_cap, acc_nu)
+        with stage("D2H-spill"):
+            h, c = _fetch_acc(acc, acc_cap, acc_nu)
         spilled = merge_sorted_tables(*spilled, h, c)
         with jax.default_device(device):
             acc = make_acc(acc_cap)
@@ -974,6 +978,7 @@ def count_kmers_fastq(path: str, k: int = 31, cap: int = 1 << 20,
         driver headline wall).  Runs only while a full fold window plus
         META_LAG batches are in flight, so the fetch syncs on finished
         work, not the head of the device queue."""
+        nonlocal last_spill_fold
         while inflight and (force
                             or len(inflight) >= ACC_FOLD + META_LAG):
             run = 1
@@ -990,6 +995,15 @@ def count_kmers_fastq(path: str, k: int = 31, cap: int = 1 << 20,
                         _meta_stacker()(*[e[0] for e in entries]))
             for m, entry in zip(m_all, entries):
                 _consume(m, entry)
+            if spill_windows and not force and n_folds > last_spill_fold \
+                    and n_folds % spill_windows == 0:
+                # OVERLAP spill: fetch the accumulator mid-stream while
+                # later batches still inflate/count, so the end-of-run
+                # table transfer only covers k-mers first seen since
+                # the last spill (host merge is the same int64 fold the
+                # int32-guard spill uses)
+                last_spill_fold = n_folds
+                spill_acc()
             if not force:
                 break
 
