@@ -307,3 +307,25 @@ def test_device_parse_rejects_non_acgt(tmp_path):
         count_kmers_fastq(str(path), 31, device_parse=True)
     with pytest.raises(ValueError):
         count_kmers_fastq(str(path), 31, device_parse=False)
+
+
+@pytest.mark.parametrize("content,k,expect_reads", [
+    (b"", 31, 0),                                      # empty member
+    (b"@r1\nACGTACGT\n+\nIIIIIIII", 5, 1),             # no trailing \n
+    (b"@r1\nACGTACGTACGT\n+\nIIIIIIIIIIII\n", 5, 1),
+])
+def test_ingest_edge_files(tmp_path, content, k, expect_reads):
+    """Tiny/degenerate gzip inputs flow through the overlapped reader +
+    fused parse without special-casing by the caller."""
+    import gzip
+    p = tmp_path / "edge.fq.gz"
+    p.write_bytes(gzip.compress(content))
+    counts, stats = count_kmers_fastq(str(p), k, cap=1 << 10)
+    assert stats["n_reads"] == expect_reads
+
+
+def test_ingest_zero_byte_file(tmp_path):
+    p = tmp_path / "zero.fq.gz"
+    p.write_bytes(b"")
+    counts, stats = count_kmers_fastq(str(p), 31, cap=1 << 10)
+    assert stats == {"n_reads": 0, "n_bases": 0, "n_kmers": 0}
