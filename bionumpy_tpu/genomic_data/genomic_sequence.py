@@ -2,13 +2,12 @@
 bionumpy/genomic_data/genomic_sequence.py:16-78)."""
 from __future__ import annotations
 
-from typing import Dict, List, Union
+from typing import Dict
 
 import numpy as np
 
 from ..encoded_array import (EncodedArray, EncodedRaggedArray,
                              as_encoded_array)
-from ..encodings import DNAEncoding
 from ..encodings.alphabet_encoding import ACGTnEncoding
 from ..io.indexed_fasta import IndexedFasta
 from ..sequence import get_reverse_complement
