@@ -73,6 +73,11 @@ from .pipeline import (binned_pileup_bed, count_kmers_fastq,
 
 open = bnp_open
 
+# the reference exposes npstructures as `bnp.nps`; this build's ragged
+# package is the from-scratch replacement for that substrate
+# (reference: bionumpy/__init__.py imports npstructures as nps)
+from . import ragged as nps  # noqa: E402
+
 
 def set_backend(lib):
     """The reference swaps numpy for cupy via module monkey-patching
