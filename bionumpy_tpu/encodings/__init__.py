@@ -53,3 +53,11 @@ CigarEncoding = DigitEncodingFactory(chr(0))
 from .kmer_encodings import KmerEncoding  # noqa: E402
 from .string_encodings import StringEncoding  # noqa: E402
 from .bool_encoding import BoolStringEncoding, bool_string  # noqa: E402
+
+
+def set_backend(lib):
+    """Backend swap is N/A: this build is JAX/TPU-native (the reference
+    monkey-patches numpy->cupy here, bionumpy/__init__.py:47-95)."""
+    raise NotImplementedError(
+        "bionumpy_tpu has no numpy/cupy backend swap; compute is "
+        "JAX-native")

@@ -18,3 +18,5 @@ __all__ = ["Genome", "GenomeContext", "GenomeError", "GlobalOffset",
            "GenomicLocationGlobal", "GenomicSequence",
            "GenomicAnnotation", "Genes", "Transcripts", "Exons",
            "BinnedGenome", "Geometry", "StreamedGeometry"]
+
+from .genome_context import ignore_underscores, keep_all  # noqa: E402,F401

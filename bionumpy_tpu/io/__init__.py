@@ -36,3 +36,6 @@ __all__ = ["bnp_open", "read", "count_entries", "open_indexed",
            "WigBuffer", "PairsBuffer", "get_bufferclass_for_datatype",
            "IndexedFasta", "create_index", "FormatException",
            "ParsingException", "chunk_lines", "buffer_types"]
+
+from .matrix_dump import read_matrix  # noqa: E402,F401
+from .motifs import read_motif  # noqa: E402,F401

@@ -19,3 +19,11 @@ __all__ = ["get_kmers", "count_kmers", "get_minimizers", "count_minimizers",
            "get_sequences", "count_encoded", "match_string",
            "EncodedCounts", "KmerEncoder", "Minimizers",
            "get_transcript_sequences"]
+
+
+def set_backend(lib):
+    """Backend swap is N/A: this build is JAX/TPU-native (the reference
+    monkey-patches numpy->cupy here, bionumpy/__init__.py:47-95)."""
+    raise NotImplementedError(
+        "bionumpy_tpu has no numpy/cupy backend swap; compute is "
+        "JAX-native")

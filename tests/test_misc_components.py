@@ -334,3 +334,52 @@ class TestParityAdditions:
             PhasedHaplotypeVCFMatrixBuffer, VCFHaplotypeBuffer)
         assert VCFHaplotypeBuffer.dataclass is not None
         assert PhasedHaplotypeVCFMatrixBuffer.dataclass is not None
+
+
+def test_rolling_window_function_parity():
+    """reference util.rolling_window_function semantics: ragged rows
+    trim the last w-1 windows; flat input keeps its n-w+1 windows."""
+    from bionumpy_tpu.util import rolling_window_function
+    from bionumpy_tpu.ragged import RaggedArray
+
+    @rolling_window_function
+    def windowed_sum(windows, w):
+        return windows.sum(axis=-1)
+
+    ra = RaggedArray(np.arange(10), [4, 6])
+    out = windowed_sum(ra, 3)
+    assert [list(np.asarray(r).ravel()) for r in out] == \
+        [[3, 6], [15, 18, 21, 24]]
+    np.testing.assert_array_equal(windowed_sum(np.arange(6), 3),
+                                  [3, 6, 9, 12])
+
+
+def test_util_pprint_and_plot():
+    from bionumpy_tpu.util import plot, pprint, pprint_one
+    from bionumpy_tpu.ragged import RaggedArray
+    codes = np.frombuffer(b"ACGT", np.uint8)
+    assert pprint_one(codes) == "ACGT"
+    assert pprint(RaggedArray(codes, [2, 2])) == ["AC", "GT"]
+    assert plot(object()) is None  # warns on missing __plot__
+
+
+def test_submodule_namespace_parity():
+    """Names a reference user reaches through submodules resolve here
+    too (module-level audit; backend swaps raise by design)."""
+    import importlib
+    import pytest as _pytest
+    for sub, names in {
+            "genomic_data": ["ignore_underscores", "keep_all"],
+            "io": ["read_matrix", "read_motif"],
+            "util": ["rolling_window_function", "pprint", "pprint_one",
+                     "plot", "testing", "as_strided", "interleave"],
+    }.items():
+        mod = importlib.import_module(f"bionumpy_tpu.{sub}")
+        for name in names:
+            assert hasattr(mod, name), (sub, name)
+    from bionumpy_tpu import encodings, sequence
+    for mod in (encodings, sequence):
+        with _pytest.raises(NotImplementedError):
+            mod.set_backend(None)
+    import bionumpy_tpu as bnp
+    assert bnp.nps.RaggedArray is bnp.RaggedArray
