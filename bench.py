@@ -150,10 +150,11 @@ def config1():
     _ensure_bench_file(member)
     device = jax.devices()[0]
 
+    add = jax.jit(lambda a, b: a + b)
+
     def job():
         pool = ThreadPoolExecutor(4)
-        totals = np.zeros(4, np.int64)
-        pending = None
+        comp_acc = None  # device-resident running composition
         n_bases = n_reads = 0
         try:
             for raw in _prefetched(_batch_arrays(
@@ -162,13 +163,14 @@ def config1():
                 words, ends, nb, nr = _parse_batch(raw)
                 words_d = jax.device_put(words, device)
                 out = composition_from_packed(words_d, nb)
-                if pending is not None:
-                    totals += np.asarray(pending).astype(np.int64)
-                pending = out
+                # accumulate ON DEVICE: one tiny D2H at the end instead
+                # of a relay round-trip per batch
+                comp_acc = out if comp_acc is None else \
+                    add(comp_acc, out)
                 n_bases += nb
                 n_reads += nr
-            if pending is not None:
-                totals += np.asarray(pending).astype(np.int64)
+            totals = np.asarray(comp_acc).astype(np.int64) \
+                if comp_acc is not None else np.zeros(4, np.int64)
         finally:
             pool.shutdown(wait=False)
         return totals, n_bases, n_reads
