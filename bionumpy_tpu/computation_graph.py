@@ -109,15 +109,36 @@ class _QuantileFold:
                                self._quantiles * cumulative[-1])
 
 
+def _moments(array, axis=None):
+    """(sum, sum of squares, n) for streamed variance/std."""
+    flat = array.ravel() if hasattr(array, "ravel") else \
+        np.asarray(array).ravel()
+    flat = np.asarray(flat, dtype=np.float64)
+    return flat.sum(), np.square(flat).sum(), flat.size
+
+
 SUM = Reduction(lambda a, b: a + b)
 HISTOGRAM = Reduction(_histogram_combine)
 MEAN = Reduction(lambda a, b: (a[0] + b[0], a[1] + b[1]),
                  finalize=lambda sn: sn[0] / sn[1],
                  prepare=_sum_with_count)
 BINCOUNT = Reduction(_bincount_combine, prepare=_flat_bincount)
+MAX = Reduction(np.maximum)
+MIN = Reduction(np.minimum)
+VAR = Reduction(lambda a, b: (a[0] + b[0], a[1] + b[1], a[2] + b[2]),
+                finalize=lambda s: s[1] / s[2] - (s[0] / s[2]) ** 2,
+                prepare=_moments)
+STD = Reduction(VAR.combine,
+                finalize=lambda s: np.sqrt(VAR.finalize(s)),
+                prepare=_moments)
 
 # numpy entry points that become streamed folds when applied to a node
 _FOLDS = {np.sum: SUM, np.histogram: HISTOGRAM}
+
+# whole-stream (axis=None) folds for further numpy reducers: the
+# per-chunk map IS the prepare when None, the combine merges chunks
+_AXIS_NONE_FOLDS = {np.max: MAX, np.amax: MAX, np.min: MIN,
+                    np.amin: MIN, np.var: VAR, np.std: STD}
 
 # kept importable: other modules historically used these names
 sum_and_n = _sum_with_count
@@ -160,6 +181,13 @@ class Node(np.lib.mixins.NDArrayOperatorsMixin):
         if func is np.mean and kwargs.get("axis") in (None, 0):
             return ReductionNode(
                 ComputationNode(MEAN.prepare, args, kwargs), MEAN)
+        if func in _AXIS_NONE_FOLDS and kwargs.get("axis") is None:
+            fold = _AXIS_NONE_FOLDS[func]
+            if fold.prepare is not None:
+                mapped = ComputationNode(fold.prepare, args, kwargs)
+            else:  # the reducer itself is the per-chunk map
+                mapped = ComputationNode(func, args, kwargs)
+            return ReductionNode(mapped, fold)
         if func is np.bincount:
             return ReductionNode(
                 ComputationNode(BINCOUNT.prepare, args, kwargs), BINCOUNT)
@@ -184,9 +212,24 @@ class Node(np.lib.mixins.NDArrayOperatorsMixin):
         return np.mean(self, axis=axis)
 
     def max(self, axis=None, **kwargs):
-        if axis != -1:
-            raise ValueError("streamed max supports only axis=-1")
-        return np.max(self, axis=-1, **kwargs)
+        if axis not in (None, -1):
+            raise ValueError("streamed max supports axis in {None, -1}")
+        return np.max(self, axis=axis, **kwargs)
+
+    def min(self, axis=None, **kwargs):
+        if axis not in (None, -1):
+            raise ValueError("streamed min supports axis in {None, -1}")
+        return np.min(self, axis=axis, **kwargs)
+
+    def std(self, axis=None):
+        if axis is not None:
+            raise ValueError("streamed std supports axis=None")
+        return np.std(self, axis=None)
+
+    def var(self, axis=None):
+        if axis is not None:
+            raise ValueError("streamed var supports axis=None")
+        return np.var(self, axis=None)
 
     def quantile(self, quantiles):
         return np.quantile(self, quantiles)

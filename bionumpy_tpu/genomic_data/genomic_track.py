@@ -154,6 +154,10 @@ class GenomicArrayGlobal(GenomicArray, np.lib.mixins.NDArrayOperatorsMixin):
             return self.sum(*args[1:], **kwargs)
         if func is np.mean:
             return self.mean()
+        if func in (np.max, np.amax):
+            return np.max(self._global_track, **kwargs)
+        if func in (np.min, np.amin):
+            return np.min(self._global_track, **kwargs)
         return NotImplemented
 
     def get_data(self) -> Union[Interval, BedGraph]:

@@ -261,6 +261,10 @@ class RunLengthArray:
             return args[0].sum(*args[1:], **kwargs)
         if func is np.mean:
             return args[0].mean()
+        if func in (np.max, np.amax):
+            return args[0].max(**kwargs)
+        if func in (np.min, np.amin):
+            return args[0].min(**kwargs)
         if func is np.where:
             cond, a, b = args
             return a._binary(b, lambda x, y: np.where(

@@ -260,3 +260,36 @@ def test_two_reductions_compose_eagerly():
     expected = np.concatenate([np.arange(4.0), np.arange(8.0)]).mean() \
         + 13.0
     np.testing.assert_allclose(float(got), expected)
+
+
+def test_graph_streamed_max_min_std_var():
+    """Whole-stream max/min/std/var fold across chunks (beyond the
+    reference's sum/histogram/mean interceptions)."""
+    chunks = [np.array([3.0, 7.0, 1.0]), np.array([9.0, 2.0])]
+    flat = np.concatenate(chunks)
+
+    def node():
+        return StreamNode(iter([c.copy() for c in chunks]))
+
+    assert float(np.max(node()).compute()) == flat.max()
+    assert float(np.min(node()).compute()) == flat.min()
+    np.testing.assert_allclose(float(np.var(node()).compute()),
+                               flat.var())
+    np.testing.assert_allclose(float(np.std(node()).compute()),
+                               flat.std())
+    # method forms + row-axis max still maps per chunk
+    assert float(node().max().compute()) == flat.max()
+    got = np.sqrt(np.var(node()))  # auto-computes, eager scalar
+    np.testing.assert_allclose(float(got), flat.std())
+
+
+def test_streamed_max_on_real_genomic_track(example_data):
+    """np.max over a streamed genomic pileup equals the full track's
+    max (the new whole-stream folds compose with the genomic layer)."""
+    import bionumpy_tpu as bnp
+    genome = bnp.Genome.from_file(str(example_data / "hg38.chrom.sizes"))
+    bed = str(example_data / "ctcf_chr21-22.bed.gz")
+    streamed = bnp.compute(
+        np.max(genome.read_intervals(bed, stream=True).get_pileup()))
+    full = np.max(genome.read_intervals(bed).get_pileup())
+    assert float(np.asarray(streamed)) == float(np.asarray(full))
