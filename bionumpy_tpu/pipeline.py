@@ -1198,6 +1198,7 @@ def _count_kmers_fastq_mesh(path: str, k: int, cap: int,
     pool = ThreadPoolExecutor(n_threads)
     n_reads = n_bases = n_kmers = 0
     acc_nu = None
+    meta_window = []
     try:
         for raw in _prefetched(
                 _batch_arrays(path, target_bases * n_dev, pool)):
@@ -1222,18 +1223,16 @@ def _count_kmers_fastq_mesh(path: str, k: int, cap: int,
                                           jax.device_put(words, dp2),
                                           jax.device_put(ends, dp2),
                                           jax.device_put(n_true, dp))
-            with stage("D2H-meta"):
-                m = np.asarray(metas)
-            if (m[:, 0] > cap).any():
-                raise ValueError(
-                    f"shard had {int(m[:, 0].max())} distinct kmers "
-                    f"> cap {cap}; raise cap")
-            n_kmers += int(m[:, 1].sum())
+            meta_window.append(metas)
+            n_kmers += _drain_mesh_metas(
+                meta_window, cap, "distinct kmers", force=False)
             if n_kmers > _SPILL_LIMIT:
                 raise ValueError(
                     "job exceeds 2^31 k-mers: use the single-device "
                     "path (it spills to a host int64 table) or split "
                     "the input")
+        n_kmers += _drain_mesh_metas(meta_window, cap,
+                                     "distinct kmers", force=True)
     finally:
         pool.shutdown(wait=False)
 
@@ -1242,6 +1241,32 @@ def _count_kmers_fastq_mesh(path: str, k: int, cap: int,
     stats = {"n_reads": n_reads, "n_bases": n_bases, "n_kmers": n_kmers}
     return SparseEncodedCounts(KmerEncoding(DNAEncoding, k), hashes,
                                counts), stats
+
+
+# mesh pipelines keep this many per-batch meta matrices on device and
+# fetch them in ONE stacked transfer (the single-device path's
+# stacked-window fetch, applied to the dp fold steps)
+_MESH_META_WINDOW = 4
+
+
+def _drain_mesh_metas(window: list, cap: int, what: str,
+                      force: bool) -> int:
+    """Fetch and validate queued per-shard meta matrices once the
+    window is full (or at end of stream); returns the total counted
+    items across the drained batches."""
+    if not window or (not force and len(window) < _MESH_META_WINDOW):
+        return 0
+    with stage("D2H-meta"):
+        if len(window) == 1:
+            m_all = np.asarray(window[0])[None]
+        else:
+            m_all = np.asarray(_meta_stacker()(*window))
+    window.clear()
+    if (m_all[:, :, 0] > cap).any():
+        raise ValueError(
+            f"shard had {int(m_all[:, :, 0].max())} {what} "
+            f"> cap {cap}; raise cap")
+    return int(m_all[:, :, 1].sum())
 
 
 def _as_dp_mesh(mesh):
@@ -1318,6 +1343,7 @@ def count_minimizers_fastq(path: str, k: int = 21,
     pool = ThreadPoolExecutor(n_threads)
     n_reads = n_bases = n_windows = 0
     acc_nu = None
+    meta_window = []
     try:
         for words, ends, n_true, parsed in _sharded_batches(
                 path, target_bases, n_dev, pool):
@@ -1328,13 +1354,11 @@ def count_minimizers_fastq(path: str, k: int = 21,
                                           jax.device_put(words, dp2),
                                           jax.device_put(ends, dp2),
                                           jax.device_put(n_true, dp))
-            with stage("D2H-meta"):
-                m = np.asarray(metas)
-            if (m[:, 0] > cap).any():
-                raise ValueError(
-                    f"shard had {int(m[:, 0].max())} distinct "
-                    f"minimizers > cap {cap}; raise cap")
-            n_windows += int(m[:, 1].sum())
+            meta_window.append(metas)
+            n_windows += _drain_mesh_metas(
+                meta_window, cap, "distinct minimizers", force=False)
+        n_windows += _drain_mesh_metas(
+            meta_window, cap, "distinct minimizers", force=True)
     finally:
         pool.shutdown(wait=False)
 
