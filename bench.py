@@ -24,7 +24,7 @@ import time
 import zlib
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      "/tmp/bionumpy_tpu_jax_cache")
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import numpy as np
@@ -685,15 +685,25 @@ def config5():
         assert got[label] == int(np_counts[b]), (label, b)
     assert set(labels) == set(got)
 
-    # jaccard on the real BED pair (golden-pinned value)
-    a = bnp.open(f"{ex}/ctcf_chr21-22.bed.gz").read()
-    chroms = {"chr21": 46709983, "chr22": 50818468}
+    # jaccard on the real two-file BED pair, asserted against the
+    # independent golden value (not a self-vs-self identity gate)
+    golden_j = json.load(open(
+        os.path.join(os.path.dirname(__file__),
+                     "tests/golden/jaccard_two_files.json")))
+    chroms = golden_j["chromosomes"]
     geom = Geometry(chroms)
-    sorted_a = geom.sort(a)
+
+    def _load_bed(name):
+        data = bnp.open(f"{ex}/{name}").read()
+        keep = np.isin(np.asarray(data.chromosome.tolist()),
+                       list(chroms))
+        return geom.sort(data[keep])
+
+    sorted_a, sorted_b = (_load_bed(n) for n in golden_j["files"])
     t0 = time.perf_counter()
-    j = geom.jaccard(sorted_a, sorted_a)
+    j = geom.jaccard(sorted_a, sorted_b)
     t_jaccard = time.perf_counter() - t0
-    assert abs(j - 1.0) < 1e-9
+    assert abs(j - golden_j["jaccard"]) < 1e-12, (j, golden_j["jaccard"])
 
     # pileup, honestly scoped: sparse real peaks (host RLE wins — the
     # device is NOT claimed faster here) and a dense 2M-interval load

@@ -6,7 +6,7 @@ import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      "/tmp/bionumpy_tpu_jax_cache")
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 

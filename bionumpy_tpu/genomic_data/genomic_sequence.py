@@ -171,9 +171,13 @@ class GenomicSequenceDict(GenomicSequence):
         if len(starts) == 0:
             return as_encoded_array([], ACGTnEncoding)
         flat, _ = self._flat_codes
-        base = self._chromosome_offsets(intervals.chromosome,
-                                        len(starts))
-        lens = stops - starts
+        base, size = self._chromosome_tables(intervals.chromosome)
+        # Clip to the chromosome like the reference's python slicing
+        # (seq[start:stop]): a stop past the end must not read into the
+        # next chromosome's buffer or past the flat buffer.
+        starts = np.clip(starts, 0, size)
+        stops = np.minimum(stops, size)
+        lens = np.maximum(stops - starts, 0)
         idx = RaggedView(base + starts, lens).get_flat_indices()
         return EncodedRaggedArray(EncodedArray(flat[idx], ACGTnEncoding),
                                   lens)

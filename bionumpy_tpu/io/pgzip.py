@@ -277,7 +277,12 @@ def open_gzip(path: str, n_threads: int = 2, max_in_memory: int = 1 << 31):
         # to sequential gzip if the native decoder is unavailable or
         # the candidate scan mis-detected (e.g. corrupt stream)
         from .. import native
-        raw = native.gzip_inflate(data)
+        try:
+            raw = native.gzip_inflate(data)
+        except Exception:
+            # e.g. zlib.error on trailing padding the python gzip module
+            # tolerates — the fallback must actually happen
+            raw = None
         if raw is not None:
             return io.BytesIO(raw)
         return _gzip.open(path, "rb")

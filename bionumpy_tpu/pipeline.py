@@ -395,10 +395,13 @@ class _MemberScanner:
         self.size = size
         self.cands = [0] if size >= 18 else []
         self._scan = 1  # next unscanned offset (candidate 0 implicit)
+        self._scanned_end = size < 18
 
     def scan_to(self, limit: int):
         buf = self.buf
         lim = min(limit, self.size)
+        if lim >= self.size:
+            self._scanned_end = True
         last_valid = min(self.size - 18, lim - 4)
         prev = self.cands[-1] if self.cands else -1
         i = buf.find(_GZ_MAGIC, self._scan, lim)
@@ -414,7 +417,9 @@ class _MemberScanner:
 
     @property
     def exhausted(self) -> bool:
-        return self._scan >= max(self.size - 2, 1)
+        # scan_to caps _scan below size-2 for files >= ~18 bytes, so
+        # test the explicit saw-the-end flag instead of the offset
+        return self._scanned_end
 
 
 def _tail_entry_cut(view: np.ndarray, n_newlines: int) -> int:
@@ -1488,6 +1493,14 @@ def binned_pileup_bed(path: str, chromosome_sizes: dict,
     rebased = (g_starts - chrom_base[chrom_of]
                + bin_base[chrom_of] * bin_size)
     rebased_stop = rebased + (g_stops - g_starts)
+    # the device arrays below are int32: a rebased span past 2^31
+    # (human-scale genomes at small bin_size) would wrap silently
+    span = int(bin_base[-1]) * bin_size
+    if span > np.iinfo(np.int32).max:
+        raise ValueError(
+            f"binned_pileup_bed: rebased genome span {span} exceeds "
+            f"int32; raise bin_size or split the call per chromosome "
+            f"(each chromosome's own span stays within int32)")
     n_iv = len(rebased)
     per = max(-(-n_iv // n_dev), 1)
     starts = np.zeros((n_dev, per), np.int32)

@@ -10,7 +10,7 @@ if "xla_force_host_platform_device_count" not in xla_flags:
         xla_flags + " --xla_force_host_platform_device_count=8").strip()
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      "/tmp/bionumpy_tpu_jax_cache")
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 
 import jax  # noqa: E402
