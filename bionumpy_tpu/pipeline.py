@@ -22,15 +22,17 @@ bionumpy/streams/reductions.py:6-23).
 """
 from __future__ import annotations
 
+import logging
 import os
 import time
-from collections import deque
 from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator, Tuple
 
 import numpy as np
 
 from . import native
+
+logger = logging.getLogger(__name__)
 from .instrument import stage
 
 # positions per device batch; 2^25 keeps the two device sorts in the
@@ -486,7 +488,11 @@ def _batch_arrays(path: str, target_bases: int,
 
     ensure_members(2)
     cands = scanner.cands
-    if len(cands) < 2 and scanner.exhausted:
+    # no candidate member start at all (tiny or non-gzip-shaped file):
+    # the member-batch path has nothing to work with.  A SINGLE member
+    # stays on the fused path — one-member batches still get the fused
+    # inflate+parse and slab stitching.
+    if not cands and scanner.exhausted:
         yield from fall_back_all()
         return
 
@@ -807,6 +813,50 @@ def _device_merge_fns():
     return _fold_program, _make_acc, _make_sentinel
 
 
+_meta_fold = None
+
+
+def _meta_fold_fns():
+    """Jitted device-side meta accumulation: (8,) uint32
+    [max_unique, kmers_lo, kmers_hi, n_entries, ok, bases_lo, bases_hi,
+    spare].  Per-batch metas fold into this on DEVICE so nothing
+    per-batch (or per fold window) crosses the relay — the r4 driver
+    run still spent 33% of wall on the stacked per-window meta fetch;
+    this accumulator rides the single nu-probe round-trip the final
+    table fetch already pays (VERDICT r4 item 1)."""
+    global _meta_fold
+    if _meta_fold is None:
+        import jax
+        import jax.numpy as jnp
+
+        @jax.jit
+        def init():
+            return jnp.zeros(8, jnp.uint32).at[4].set(1)  # ok = 1
+
+        @jax.jit
+        def add_packed(acc, meta):
+            # meta int32 [n_unique, n_valid] (kmer_sentinel_table_packed)
+            nu = meta[0].astype(jnp.uint32)
+            nv = meta[1].astype(jnp.uint32)
+            lo = acc[1] + nv
+            carry = (lo < nv).astype(jnp.uint32)
+            return acc.at[0].max(nu).at[1].set(lo).at[2].add(carry)
+
+        @jax.jit
+        def add_device(acc, meta):
+            # meta int32 [n_unique, n_valid, n_entries, ok, n_bases]
+            acc = add_packed(acc, meta[:2])
+            nb = meta[4].astype(jnp.uint32)
+            blo = acc[5] + nb
+            carry = (blo < nb).astype(jnp.uint32)
+            ok = jnp.where(meta[3] > 0, jnp.uint32(1), jnp.uint32(0))
+            return (acc.at[3].add(meta[2].astype(jnp.uint32))
+                    .at[4].min(ok).at[5].set(blo).at[6].add(carry))
+
+        _meta_fold = (init, add_packed, add_device)
+    return _meta_fold
+
+
 def _sentinel_table(cap: int, device):
     """Cached on-device all-sentinel (lo, hi, cnt) table used to pad
     partial folds to the pinned ACC_FOLD arity (created on device — no
@@ -864,24 +914,30 @@ def count_kmers_fastq(path: str, k: int = 31, cap: int = 1 << 20,
         device = jax.devices()[0]
     if n_threads is None:
         n_threads = min(8, os.cpu_count() or 1)
+    acc_cap_arg = acc_cap
     if acc_cap is None:
         acc_cap = max(4 * cap, 1 << 22)
     pool = ThreadPoolExecutor(n_threads)
     worker = ThreadPoolExecutor(1)
     lut_dev = jax.device_put(np.asarray(DNAEncoding.lookup_table), device)
     fold_program, make_acc, _ = _device_merge_fns()
+    meta_init, meta_add_packed, meta_add_device = _meta_fold_fns()
 
     # per-batch tables stay DEVICE-RESIDENT (sentinel-padded cap rows)
     # and merge into a fixed acc_cap-row accumulator every ACC_FOLD
-    # batches — every fold runs the SAME compiled program, and nothing
-    # per-chunk crosses the link except the tiny meta vector
+    # batches — every fold runs the SAME compiled program, and NOTHING
+    # per-chunk crosses the link: per-batch metas fold into a device
+    # meta accumulator fetched with the final table (overflowed batch
+    # caps are detected there and the job reruns once at doubled cap)
     with jax.default_device(device):
         acc = make_acc(acc_cap)
-    pending = []       # resolved (lo, hi, cnt) triples awaiting a fold
-    inflight = deque()  # (meta_dev, table_triple, retry_payload, mode)
+        meta_acc = meta_init()
+    pending = []       # device (lo, hi, cnt) triples awaiting a fold
     spilled = (np.empty(0, np.uint64), np.empty(0, np.int64))
-    n_reads = n_bases = n_kmers = 0
-    kmers_in_acc = 0
+    n_reads = n_bases = 0
+    n_batches = 0
+    any_device_parse = False
+    kmers_in_acc = 0   # host-side UPPER BOUND (bases >= kmers)
     n_folds = 0
     last_spill_fold = -1
 
@@ -940,92 +996,47 @@ def count_kmers_fastq(path: str, k: int = 31, cap: int = 1 << 20,
         acc_nu = None
         kmers_in_acc = 0
 
-    def _consume(m, entry):
-        """Apply one (already host-side) meta row to its batch: retry
-        overflowed batches at a doubled cap, splitting the wider table
-        into cap-row slices so folds keep their pinned shape."""
-        nonlocal n_reads, n_bases, n_kmers, kmers_in_acc
-        _meta_dev, table, payload, mode = entry
-        if len(m) >= 5:  # device-parse meta: entry/base counts
-            if not int(m[3]):
-                raise ValueError("malformed FASTQ batch (device scan)")
-            n_reads += int(m[2])
-            n_bases += int(m[4])
-        batch_cap = cap
-        while int(m[0]) > batch_cap:  # distinct kmers overflowed cap
-            batch_cap *= 2
-            with stage("recount"):
-                if mode == "packed":
-                    words, ends, nb = payload
-                    table, meta_dev = count_packed(words, ends, nb,
-                                                   batch_cap)
-                else:
-                    padded, n_true = payload
-                    table, meta_dev = count_device_parse(padded, n_true,
-                                                         batch_cap)
-                m2 = np.asarray(meta_dev)
-            m = np.concatenate([m2[:2], m[2:]]) if len(m) >= 5 else m2
-        n_kmers += int(m[1])
-        if kmers_in_acc + int(m[1]) > _SPILL_LIMIT:
-            spill_acc()
-        kmers_in_acc += int(m[1])
-        if batch_cap == cap:
-            pending.append(table)
-        else:  # split the doubled-cap table into pinned cap-row slices
-            for s in range(0, batch_cap, cap):
-                pending.append(tuple(t[s: s + cap] for t in table))
-        fold_pending()
-
-    def resolve_some(force=False):
-        """Resolve the oldest same-mode run of in-flight batches with
-        ONE stacked meta fetch — one relay round-trip per fold window
-        instead of per batch (the per-batch fetch was 56% of the r3
-        driver headline wall).  Runs only while a full fold window plus
-        META_LAG batches are in flight, so the fetch syncs on finished
-        work, not the head of the device queue."""
-        nonlocal last_spill_fold
-        while inflight and (force
-                            or len(inflight) >= ACC_FOLD + META_LAG):
-            run = 1
-            mode0 = inflight[0][3]
-            while run < min(len(inflight), ACC_FOLD) and \
-                    inflight[run][3] == mode0:
-                run += 1
-            entries = [inflight.popleft() for _ in range(run)]
-            with stage("D2H-meta"):
-                if run == 1:
-                    m_all = np.asarray(entries[0][0])[None]
-                else:
-                    m_all = np.asarray(
-                        _meta_stacker()(*[e[0] for e in entries]))
-            for m, entry in zip(m_all, entries):
-                _consume(m, entry)
-            if spill_windows and not force and n_folds > last_spill_fold \
-                    and n_folds % spill_windows == 0:
-                # OVERLAP spill: fetch the accumulator mid-stream while
-                # later batches still inflate/count, so the end-of-run
-                # table transfer only covers k-mers first seen since
-                # the last spill (host merge is the same int64 fold the
-                # int32-guard spill uses)
-                last_spill_fold = n_folds
-                spill_acc()
-            if not force:
-                break
-
     def launch(prepped):
-        nonlocal n_reads, n_bases
+        """Count one batch and fold it in — fully async: the table goes
+        straight to `pending`, the batch's meta folds into the DEVICE
+        meta accumulator, and no per-batch (or per-window) host fetch
+        happens at all (the r3/r4 stacked meta fetch was still 33% of
+        the r4 driver wall).  The spill guard uses the host-known byte
+        count as an upper bound on kmers (bases >= kmers)."""
+        nonlocal n_reads, n_bases, n_batches, kmers_in_acc, meta_acc, \
+            last_spill_fold, any_device_parse
         mode, payload = prepped
         if mode == "packed":
             words, ends, nb, nr = payload
             table, meta = count_packed(words, ends, nb, cap)
             n_bases += nb
             n_reads += nr
-            inflight.append((meta, table, (words, ends, nb), mode))
+            bound = nb
+            meta_acc = meta_add_packed(meta_acc, meta)
         else:
             padded, n_true = payload
             table, meta = count_device_parse(padded, n_true, cap)
-            inflight.append((meta, table, (padded, n_true), mode))
-        resolve_some()
+            bound = int(padded.shape[0])  # kmers <= raw batch bytes
+            meta_acc = meta_add_device(meta_acc, meta)
+            any_device_parse = True
+        n_batches += 1
+        if kmers_in_acc + bound > _SPILL_LIMIT:
+            spill_acc()
+        kmers_in_acc += bound
+        pending.append(table)
+        fold_pending()
+        if spill_windows and n_folds > last_spill_fold \
+                and n_folds % spill_windows == 0:
+            # OVERLAP spill: fetch the accumulator mid-stream while
+            # later batches still inflate/count, so the end-of-run
+            # table transfer only covers k-mers first seen since the
+            # last spill
+            last_spill_fold = n_folds
+            spill_acc()
+        if modes is None and n_batches <= 2:
+            # the auto-transport probe times real per-mode throughput:
+            # without a sync the async launch measures only dispatch
+            jax.block_until_ready(table)
 
     def prep(mode, raw):
         if isinstance(raw, tuple):  # fused ingest: already parsed
@@ -1070,12 +1081,11 @@ def count_kmers_fastq(path: str, k: int = 31, cap: int = 1 << 20,
                 prep_fut = worker.submit(prep, mode_for(i), raw)
         if prep_fut is not None:
             launch(prep_fut.result())
-        resolve_some(force=True)
     finally:
         worker.shutdown(wait=False)
         pool.shutdown(wait=False)
 
-    if not (pending or n_kmers or len(spilled[0])):
+    if n_batches == 0 and not len(spilled[0]):
         stats = {"n_reads": n_reads, "n_bases": n_bases, "n_kmers": 0}
         return SparseEncodedCounts(
             KmerEncoding(DNAEncoding, k), np.empty(0, np.uint64),
@@ -1084,7 +1094,31 @@ def count_kmers_fastq(path: str, k: int = 31, cap: int = 1 << 20,
     with stage("device-merge"):
         fold_pending(force=True)
     with stage("D2H-table"):
-        hashes, counts = _fetch_acc(acc, acc_cap, acc_nu)
+        hashes, counts, meta_h = _fetch_acc(acc, acc_cap, acc_nu,
+                                            meta_acc)
+    # meta rode the table fetch: interpret it host-side now
+    max_unique = int(meta_h[0])
+    n_kmers = int(meta_h[1]) | (int(meta_h[2]) << 32)
+    if any_device_parse:
+        if not int(meta_h[4]):
+            raise ValueError("malformed FASTQ batch (device scan)")
+        n_reads += int(meta_h[3])
+        n_bases += int(meta_h[5]) | (int(meta_h[6]) << 32)
+    if max_unique > cap:
+        # some batch's distinct kmers overflowed its (truncated) table;
+        # redo the whole job ONCE at a cap that fits (meta carries the
+        # true per-batch distinct count, so one rerun suffices).  With
+        # caps sized to the input this never fires; it trades a rare 2x
+        # job cost for ZERO per-batch meta round-trips on normal runs.
+        new_cap = 1 << (max_unique - 1).bit_length()
+        logger.warning(
+            "count_kmers_fastq: batch table overflow (%d > cap=%d); "
+            "rerunning at cap=%d", max_unique, cap, new_cap)
+        return count_kmers_fastq(
+            path, k, cap=new_cap, target_bases=target_bases,
+            device=device, n_threads=n_threads,
+            device_parse=device_parse, acc_cap=acc_cap_arg,
+            spill_windows=spill_windows)
     if len(spilled[0]):
         hashes, counts = merge_sorted_tables(*spilled, hashes, counts)
     stats = {"n_reads": n_reads, "n_bases": n_bases, "n_kmers": n_kmers}
@@ -1099,15 +1133,33 @@ def count_kmers_fastq(path: str, k: int = 31, cap: int = 1 << 20,
 _FETCH_QUANTUM = 1 << 18
 
 
-def _fetch_acc(acc, acc_cap: int, nu_dev=None):
+_nu_meta_cat = None
+
+
+def _fetch_acc(acc, acc_cap: int, nu_dev=None, meta_dev=None):
     """D2H the accumulator's live rows in ONE quantum-rounded transfer,
     delta-compressed to 8 B/row on device (ops/fetch_pack; raw 12 B/row
     fallback if the data defeats the 48-bit-delta bound).  `nu_dev` is
     the device scalar the fold program returned; when None (no fold
-    ran) the live count is probed from a small prefix."""
+    ran) the live count is probed from a small prefix.  `meta_dev`
+    (optional (8,) uint32 accumulator from _meta_fold_fns) rides the
+    SAME nu-probe round-trip; when given the return gains a third
+    element, the host meta vector."""
     from .ops.fetch_pack import (HEAD, pack_sorted_table,
                                  unpack_sorted_table)
-    if nu_dev is not None:
+    meta_h = None
+    if meta_dev is not None:
+        assert nu_dev is not None
+        global _nu_meta_cat
+        if _nu_meta_cat is None:
+            import jax
+            import jax.numpy as jnp
+            _nu_meta_cat = jax.jit(lambda nu, m: jnp.concatenate(
+                [nu.astype(jnp.uint32)[None], m]))
+        probe = np.asarray(_nu_meta_cat(nu_dev, meta_dev))
+        nu = int(probe[0])
+        meta_h = probe[1:]
+    elif nu_dev is not None:
         nu = int(np.asarray(nu_dev))
     else:
         head = np.asarray(acc[:2, :4096])
@@ -1125,13 +1177,15 @@ def _fetch_acc(acc, acc_cap: int, nu_dev=None):
         nu_dev = jnp.int32(nu)
     slab = np.asarray(pack_sorted_table(acc, nu_dev)[:, :HEAD + n_fetch])
     out = unpack_sorted_table(slab)
-    if out is not None:
-        return out
-    # exception block overflowed: raw 12 B/row fetch
-    t = np.asarray(acc[:, :n_fetch])
-    hashes = (t[0, :nu].astype(np.uint64) |
-              (t[1, :nu].astype(np.uint64) << np.uint64(32)))
-    return hashes, t[2, :nu].astype(np.int64)
+    if out is None:
+        # exception block overflowed: raw 12 B/row fetch
+        t = np.asarray(acc[:, :n_fetch])
+        hashes = (t[0, :nu].astype(np.uint64) |
+                  (t[1, :nu].astype(np.uint64) << np.uint64(32)))
+        out = (hashes, t[2, :nu].astype(np.int64))
+    if meta_dev is not None:
+        return out[0], out[1], meta_h
+    return out
 
 
 def _split_fastq_entries(raw: bytes, n: int):

@@ -89,10 +89,13 @@ def test_instrument_stages_recorded():
     count_kmers_fastq(BIG_FQ, 31)
     rep = instrument.report()
     # fused ingest: inflate+parse and stitch replace the raw slab's
-    # separate inflate / parse+pack stages
+    # separate inflate / parse+pack stages; there is NO D2H-meta stage
+    # any more — per-batch metas fold on device and ride the final
+    # table fetch (r5)
     for name in ("read", "inflate+parse", "stitch", "H2D", "dispatch",
-                 "device-merge", "D2H-meta", "D2H-table"):
+                 "device-merge", "D2H-table"):
         assert name in rep, (name, rep)
+    assert "D2H-meta" not in rep, rep
     assert instrument.summary(total=1.0)
     instrument.reset()
 
