@@ -102,9 +102,18 @@ def numpy_whole_job(members, k):
     return all_h[keep], np.add.reduceat(all_c, keep)
 
 
-def _emit(metric, value, unit, vs_baseline):
-    print(json.dumps({"metric": metric, "value": value, "unit": unit,
-                      "vs_baseline": vs_baseline}))
+def _emit(metric, value, unit, vs_baseline, times=None):
+    """One JSON line; `times` (the per-iteration walls) adds
+    {t_min, t_median, spread} so the recorded artifact itself shows
+    whether a low number is relay/host weather or a regression."""
+    rec = {"metric": metric, "value": value, "unit": unit,
+           "vs_baseline": vs_baseline}
+    if times:
+        ts = sorted(times)
+        rec["t_min"] = round(ts[0], 3)
+        rec["t_median"] = round(ts[len(ts) // 2], 3)
+        rec["spread"] = round(ts[-1] / ts[0], 2) if ts[0] else None
+    print(json.dumps(rec))
 
 
 class CompileCounter:
@@ -200,7 +209,8 @@ def config1():
     t_base = min(base_times) * (REPLICATION / BASELINE_MEMBERS)
     _emit(f"config1 FASTQ read + per-base composition end-to-end "
           f"({n_reads} reads, exact; numpy 1-core {t_base:.1f}s)",
-          round(n_bases / t / 1e6, 2), "Mbases/s", round(t_base / t, 2))
+          round(n_bases / t / 1e6, 2), "Mbases/s", round(t_base / t, 2),
+          times=times)
 
 
 def numpy_minimizer_job(flat, lengths, k, n_kmers):
@@ -309,7 +319,8 @@ def config3():
           f"track, 8 sacCer3 strain variants ({n_bases / 1e6:.1f} Mbases, "
           f"{len(exp_h)} distinct, one shared H2D, table+track exact; "
           f"numpy 1-core {t_base:.1f}s)",
-          round(n_bases / t / 1e6, 2), "Mbases/s", round(t_base / t, 2))
+          round(n_bases / t / 1e6, 2), "Mbases/s", round(t_base / t, 2),
+          times=times)
 
 
 def pwm_stream_job(path, matrix32, threshold, cap=1 << 20,
@@ -468,7 +479,8 @@ def config4():
           f"match positions out ({n_bases / 1e6:.0f} Mbases, "
           f"{n_matches} matches, {n_reads} reads; numpy 1-core "
           f"{t_base:.1f}s)",
-          round(n_bases / t / 1e6, 2), "Mbases/s", round(t_base / t, 2))
+          round(n_bases / t / 1e6, 2), "Mbases/s", round(t_base / t, 2),
+          times=times)
 
 
 def _simulated_ref_codes(chrom_l, pos_l, ref_l, rng_seed=0):
@@ -769,7 +781,8 @@ def config5():
           f"device {t_dev_sparse * 1e3:.0f}ms (stated, not hidden), "
           f"dense 2M x 100bp-bin device {t_dev_dense * 1e3:.0f}ms vs "
           f"host RLE {t_rle_dense * 1e3:.0f}ms",
-          round(rate / 1e3, 2), "kvariants/s", round(t_base / t_job, 2))
+          round(rate / 1e3, 2), "kvariants/s", round(t_base / t_job, 2),
+          times=times)
 
 
 def _ensure_bench_file(member: bytes):
@@ -944,6 +957,9 @@ def main():
         "value": round(kmer_rate / 1e6, 2),
         "unit": "Mkmers/s",
         "vs_baseline": round(t_base / t_job, 2),
+        "t_min": round(sorted(times)[0], 3),
+        "t_median": round(sorted(times)[len(times) // 2], 3),
+        "spread": round(max(times) / min(times), 2),
     }))
 
 

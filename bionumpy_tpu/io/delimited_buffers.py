@@ -184,6 +184,9 @@ class DelimitedBuffer(FileBuffer):
         self.validate_if_not()
         try:
             if field_type == int:
+                vals = self._buffer_extractor.parse_int_field(col_number)
+                if vals is not None:
+                    return vals
                 digit_array, is_negative, is_positive = \
                     self._buffer_extractor.get_digit_array(col_number)
                 if is_negative is None:

@@ -332,6 +332,19 @@ class TextBufferExtractor:
             fill_value="\x00", stop_at=stop_at)
         return padded.reshape(starts.shape + (padded.shape[-1],))
 
+    def parse_int_field(self, field_nr: int):
+        """Native one-pass signed-int parse of a column; None means
+        "use the digit-matrix path" (no native lib, or an anomalous
+        row that needs the checked path's FormatException)."""
+        from .. import native
+        starts = self._field_starts[:, field_nr]
+        if len(starts) == 0:
+            return np.empty(0, dtype=np.int64)
+        raw = self._data.raw() if hasattr(self._data, "raw") \
+            else np.asarray(self._data)
+        return native.parse_ints(
+            raw, starts, starts + self._field_lens[:, field_nr])
+
     def get_digit_array(self, field_nr: int):
         starts = self._field_starts[:, field_nr]
         if len(starts) == 0:

@@ -75,7 +75,11 @@ class NumpyFileReader:
         self._do_prepend = True
 
     def read(self):
-        chunk = np.frombuffer(self._file_obj.read(), dtype=np.uint8)
+        read_array = getattr(self._file_obj, "read_array", None)
+        if read_array is not None:  # pgzip.ArrayStream: zero-copy view
+            chunk = read_array()
+        else:
+            chunk = np.frombuffer(self._file_obj.read(), dtype=np.uint8)
         if chunk.size == 0:
             return None
         chunk, _ = self._add_newline_to_end(chunk, chunk.size)

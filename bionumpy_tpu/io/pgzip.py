@@ -133,6 +133,63 @@ def _inflate_with_repair(segments: list, pool: ThreadPoolExecutor) -> list:
     return results
 
 
+class ArrayStream(io.RawIOBase):
+    """Read-only file-like over a fully-inflated uint8 numpy buffer.
+
+    On this memory-bandwidth-throttled host the copy chain
+    slab -> tobytes -> BytesIO -> read() -> frombuffer cost 3 full
+    passes over 100MB-class inflated files; this serves normal reads as
+    small-slice copies and exposes `read_array()` so NumpyFileReader's
+    whole-file path gets the remaining bytes as a ZERO-COPY view."""
+
+    def __init__(self, arr: np.ndarray):
+        self._arr = arr
+        self._pos = 0
+
+    def readable(self):
+        return True
+
+    def seekable(self):
+        return True
+
+    def read(self, n: int = -1) -> bytes:
+        if n is None or n < 0:
+            n = len(self._arr) - self._pos
+        out = bytes(memoryview(self._arr[self._pos: self._pos + n]))
+        self._pos += len(out)
+        return out
+
+    def read_array(self) -> np.ndarray:
+        """Remaining bytes as a numpy view (no copy); consumes them."""
+        out = self._arr[self._pos:]
+        self._pos = len(self._arr)
+        return out
+
+    def readline(self, limit: int = -1) -> bytes:
+        mv = memoryview(self._arr)
+        end = self._arr.size
+        idx = bytes(mv[self._pos: min(self._pos + 4096, end)]).find(b"\n")
+        if idx < 0:  # long line: fall back to a full-tail search
+            idx = bytes(mv[self._pos:]).find(b"\n")
+        stop = end if idx < 0 else self._pos + idx + 1
+        out = bytes(mv[self._pos: stop])
+        self._pos = stop
+        return out
+
+    def tell(self) -> int:
+        return self._pos
+
+    def seek(self, offset: int, whence: int = 0) -> int:
+        if whence == 0:
+            self._pos = offset
+        elif whence == 1:
+            self._pos += offset
+        else:
+            self._pos = len(self._arr) + offset
+        self._pos = max(0, min(self._pos, len(self._arr)))
+        return self._pos
+
+
 class _ParallelMemberStream(io.RawIOBase):
     """Read-only file-like over a multi-member gzip byte string that
     inflates members ahead on a thread pool, keeping at most `window`
@@ -306,5 +363,5 @@ def open_gzip(path: str, n_threads: int = 2, max_in_memory: int = 1 << 31):
         finally:
             pool.shutdown(wait=False)
         if ok:
-            return io.BytesIO(out.tobytes())
+            return ArrayStream(out)
     return _ParallelMemberStream(data, offsets, n_threads=n_threads)

