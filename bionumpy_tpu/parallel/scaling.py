@@ -96,13 +96,32 @@ def measure(n_devices_list=(1, 2, 4, 8), n_bases: int = 1 << 20,
             "bytes_gathered": int(3 * 4 * cap * n_dev),
         })
     if records:
+        import os
         base = records[0]["t_local_s"] or 1e-9
+        n_cores = os.cpu_count() or 1
+        # Conservative ICI floor (v5e 1D ring is far faster); the
+        # collective traffic is cap-bounded tables, so the projected
+        # term is tiny next to per-shard compute.
+        ici_bw = 10e9
         for r in records:
+            n = r["n_devices"]
+            r["host_cpu_count"] = n_cores
             r["local_speedup_vs_1dev"] = round(base / max(
                 r["t_local_s"], 1e-9), 2)
             r["efficiency_proxy"] = round(
-                base / max(r["t_with_collectives_s"], 1e-9)
-                / r["n_devices"], 3)
+                base / max(r["t_with_collectives_s"], 1e-9) / n, 3)
+            # On real chips each shard owns a full chip, so the local
+            # term scales by construction (shards are independent);
+            # what ICI adds is the measured-bytes collective:
+            t_shard = base / n
+            r["projected_ici_efficiency"] = round(
+                t_shard / (t_shard + r["bytes_gathered"] / ici_bw), 3)
+            r["note"] = (
+                "efficiency_proxy is CORE-BOUND on this host "
+                f"({n_cores} CPUs emulate {n} devices); "
+                "projected_ici_efficiency uses perfect local scaling "
+                "(independent shards, one chip each) plus the measured "
+                "collective bytes over a conservative 10 GB/s ICI")
     return records
 
 
