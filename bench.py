@@ -244,8 +244,7 @@ def config3():
     from bionumpy_tpu.encodings.alphabet_encoding import ACGTnEncoding
     from bionumpy_tpu.ops import resident
     from bionumpy_tpu.ops.resident import reset_transfer_counters
-    from bionumpy_tpu.ops.tracks import gc_track
-    from bionumpy_tpu.sequence import count_minimizers
+    from bionumpy_tpu.sequence import count_minimizers_with_gc
 
     fa = bnp.open("/root/reference/example_data/sacCer3.fa.gz",
                   buffer_type=bnp.MultiLineFastaBuffer).read()
@@ -270,9 +269,10 @@ def config3():
     compiles = CompileCounter()
 
     def job():
-        tbl = count_minimizers(seqs, k, w, cap=cap)
-        gc = gc_track(seqs, 1000)
-        return tbl, gc
+        # ONE device program + one combined fetch: gc bins ride the
+        # packed minimizer-table stream (sequence/minimizers.py)
+        return count_minimizers_with_gc(seqs, k, w, cap=cap,
+                                        bin_size=1000)
 
     tbl, gc = job()  # warmup + compile
     reset_transfer_counters()

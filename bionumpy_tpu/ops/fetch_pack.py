@@ -109,6 +109,103 @@ def pack_runs_table(table, n_unique, n_valid):
     return pack_sorted_table(acc, n_unique)
 
 
+# 32-bit row variant: 24-bit delta + 8-bit count in ONE uint32 word.
+# Minimizer tables want this: their hashes are windowed MINIMA, so the
+# distinct set is min-biased with a heavy delta tail (measured config-3
+# table: 26k rows with delta >= 2^24, 4.8k with count >= 256) — the
+# exception block is sized 2^16 rows to absorb that and the stream
+# halves the 8 B/row fetch.
+EXC_CAP32 = 1 << 16
+HEAD32 = 4 * (EXC_CAP32 + 1)  # uint32 words the side block occupies
+
+
+@jax.jit
+def pack_sorted_table32(acc, nu):
+    """pack_sorted_table at 4 B/row: returns ONE 1-D uint32 array
+    [exception block (4*(EXC_CAP32+1) words: word0..3 =
+    [n_exc, nu, 0, 0], then (idx, lo, hi, cnt) quadruples compacted to
+    the front), then the delta stream d_lo24 | count8 << 24].  Host
+    fetches [: HEAD32 + nu] (quantum-rounded) as one transfer."""
+    import jax.numpy as jnp
+
+    lo, hi, cnt = acc[0], acc[1], acc[2]
+    n = lo.shape[0]
+    prev_lo = jnp.concatenate([jnp.zeros(1, jnp.uint32), lo[:-1]])
+    prev_hi = jnp.concatenate([jnp.zeros(1, jnp.uint32), hi[:-1]])
+    borrow = (lo < prev_lo).astype(jnp.uint32)
+    d_lo = lo - prev_lo
+    d_hi = hi - prev_hi - borrow
+    row = jnp.arange(n, dtype=jnp.int32)
+    live = row < nu
+    is_exc = live & ((d_hi != 0) | (d_lo >= jnp.uint32(1 << 24))
+                     | (cnt >= jnp.uint32(1 << 8)))
+    packed = (d_lo & jnp.uint32(0xFFFFFF)) | (cnt << jnp.uint32(24))
+
+    _, p2 = jax.lax.sort(((~is_exc).astype(jnp.uint32), row),
+                         num_keys=1, is_stable=True)
+    m = min(EXC_CAP32, n)
+    idx = p2[:m]
+    n_exc = is_exc.sum()
+    exc_live = jnp.arange(m, dtype=jnp.int32) < n_exc
+    z = jnp.uint32(0)
+    exc_rows = jnp.stack([
+        jnp.where(exc_live, idx.astype(jnp.uint32), z),
+        jnp.where(exc_live, jnp.take(lo, idx), z),
+        jnp.where(exc_live, jnp.take(hi, idx), z),
+        jnp.where(exc_live, jnp.take(cnt, idx), z)], axis=1)
+    if m < EXC_CAP32:
+        exc_rows = jnp.concatenate(
+            [exc_rows, jnp.zeros((EXC_CAP32 - m, 4), jnp.uint32)])
+    head = jnp.stack([n_exc.astype(jnp.uint32),
+                      nu.astype(jnp.uint32), z, z])[None]
+    return jnp.concatenate([head.reshape(-1), exc_rows.reshape(-1),
+                            packed])
+
+
+@jax.jit
+def pack_runs_table32(table, n_unique, n_valid):
+    """pack_sorted_table32 for a (3, cap) [lo, hi, run_start] table."""
+    import jax.numpy as jnp
+
+    from .kmers import counts_from_runs
+    cap = table.shape[1]
+    cnt = counts_from_runs(table[2].astype(jnp.int32), n_unique,
+                           n_valid, cap)
+    acc = jnp.stack([table[0], table[1], cnt.astype(jnp.uint32)])
+    return pack_sorted_table32(acc, n_unique)
+
+
+def unpack_sorted_table32(slab: np.ndarray):
+    """Host decode of a pack_sorted_table32 fetch (1-D uint32 prefix of
+    >= HEAD32 + nu words).  Returns (hashes uint64 sorted, counts
+    int64), or None if the exception block overflowed."""
+    n_exc = int(slab[0])
+    nu = int(slab[1])
+    if n_exc > EXC_CAP32:
+        return None
+    if nu == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    w = slab[HEAD32: HEAD32 + nu]
+    delta = (w & np.uint32(0xFFFFFF)).astype(np.uint64)
+    counts = (w >> np.uint32(24)).astype(np.int64)
+    if n_exc == 0:
+        return np.cumsum(delta, dtype=np.uint64), counts
+    exc = slab[4: 4 + 4 * n_exc].reshape(-1, 4)
+    exc_idx = exc[:, 0].astype(np.int64)
+    exc_hash = (exc[:, 1].astype(np.uint64)
+                | (exc[:, 2].astype(np.uint64) << np.uint64(32)))
+    exc_cnt = exc[:, 3].astype(np.int64)
+    delta[exc_idx] = 0
+    c = np.cumsum(delta, dtype=np.uint64)
+    offsets = exc_hash - c[exc_idx]
+    seg = np.zeros(nu, np.uint64)
+    seg[exc_idx] = offsets - np.concatenate([[np.uint64(0)],
+                                             offsets[:-1]])
+    hashes = c + np.cumsum(seg, dtype=np.uint64)
+    counts[exc_idx] = exc_cnt
+    return hashes, counts
+
+
 def unpack_sorted_table(slab: np.ndarray):
     """Host decode of a pack_sorted_table fetch.
 

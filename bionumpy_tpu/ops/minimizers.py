@@ -78,6 +78,60 @@ def minimizer_table_packed(words: jnp.ndarray, ends: jnp.ndarray,
     return table, meta
 
 
+@partial(jax.jit, static_argnames=("k", "n_kmers", "cap", "bin_size"))
+def minimizer_gc_job_packed(words: jnp.ndarray, ends: jnp.ndarray,
+                            n_true, k: int, n_kmers: int, cap: int,
+                            bin_size: int):
+    """ONE program for the whole config-3 job: the minimizer count
+    table (delta-packed for fetch, ops/fetch_pack) AND the binned GC
+    track, computed from the same uploaded packed-words buffer.  The
+    gc bins are PREPENDED to the packed table stream, so after the
+    tiny (2,) meta probe the entire job result crosses the relay as
+    ONE prefix-sliced transfer (three round-trips -> two; each extra
+    round-trip costs 100ms-class latency when the relay degrades).
+
+    Returns (slab 1-D uint32 [gc bins (n_bins_padded words), 32-bit
+    packed table stream], meta (2,) int32); n_bins_padded derives from
+    the PADDED position bucket (the host slices to the real bins).
+    Rows are 4 B (24-bit delta + 8-bit count, ops/fetch_pack
+    pack_sorted_table32) — minimizer tables fit it with a 2^16-row
+    exception block, halving the dominant D2H."""
+    from .fetch_pack import pack_runs_table32
+    from .tracks import gc_binned_from_packed
+
+    table, meta = minimizer_table_packed(words, ends, n_true, k,
+                                         n_kmers, cap)
+    gc = gc_binned_from_packed(words, n_true, bin_size)
+    slab = pack_runs_table32(table, meta[0], meta[1])
+    return jnp.concatenate([gc.astype(jnp.uint32), slab]), meta
+
+
+@partial(jax.jit, static_argnames=("k", "n_kmers", "cap", "bin_size"))
+def minimizer_sentinel_gc_group(words: jnp.ndarray, ends: jnp.ndarray,
+                                n_true, k: int, n_kmers: int, cap: int,
+                                bin_size: int, phase=0):
+    """One CHUNK of the pipelined config-3 job: sentinel-padded
+    (lo, hi, cnt) minimizer table (fold-ready for pipeline
+    _fold_program — unused slots carry (0xFFFFFFFF, 0xFFFFFFFF, 0)),
+    the (2,) meta, and the chunk's GLOBAL-grid gc bins (phase =
+    chunk_start % bin_size, a device scalar).  Chunk g+1's H2D
+    overlaps chunk g's sort because nothing here syncs the host."""
+    from .kmers import counts_from_runs
+    from .tracks import gc_binned_phase
+
+    table, meta = minimizer_table_packed(words, ends, n_true, k,
+                                         n_kmers, cap)
+    cnt = counts_from_runs(table[2].astype(jnp.int32), meta[0],
+                           meta[1], cap)
+    valid = jnp.arange(cap, dtype=jnp.int32) < meta[0]
+    sentinel = jnp.uint32(0xFFFFFFFF)
+    lo_t = jnp.where(valid, table[0], sentinel)
+    hi_t = jnp.where(valid, table[1], sentinel)
+    cnt = jnp.where(valid, cnt, 0)
+    gc = gc_binned_phase(words, n_true, bin_size, phase)
+    return lo_t, hi_t, cnt.astype(jnp.int32), meta, gc
+
+
 @partial(jax.jit, static_argnames=("k", "n_kmers"))
 def minimizer_limbs(codes_padded: jnp.ndarray, dist_padded: jnp.ndarray,
                     k: int, n_kmers: int):

@@ -61,6 +61,33 @@ def binned_pileup(starts: jnp.ndarray, stops: jnp.ndarray,
 
 
 @partial(jax.jit, static_argnames=("bin_size",))
+def gc_binned_phase(words: jnp.ndarray, n_true, bin_size: int, phase):
+    """gc_binned_from_packed for a CHUNK whose global start position S
+    has S % bin_size == phase (a DEVICE scalar, so every equal-bucket
+    chunk shares one compiled program): bins align to the GLOBAL bin
+    grid, so a chunk's first (partial) bin sums with the previous
+    chunk's last — the host stitches per-chunk bins by plain addition
+    at offset S // bin_size (the chunked config-3 pipeline).  Output
+    length is the phase-independent bound n_positions//bin_size + 2;
+    trailing bins are zero."""
+    n_positions = (words.shape[0] - 2) * WORD_BASES
+    p0 = jnp.repeat(words[:-2], WORD_BASES)
+    bit = jnp.tile(jnp.arange(WORD_BASES, dtype=jnp.uint32) * 2,
+                   words.shape[0] - 2)
+    codes = ((p0 >> bit) & 3).astype(jnp.uint8)
+    pos = jnp.arange(n_positions)
+    is_gc = ((codes == 1) | (codes == 2)) & (pos < n_true)
+    csum = jnp.cumsum(is_gc.astype(jnp.int32))
+    n_bins = n_positions // bin_size + 2
+    b = jnp.arange(n_bins)
+    end = jnp.clip((b + 1) * bin_size - phase, 0, n_positions)
+    start = jnp.clip(b * bin_size - phase, 0, n_positions)
+    hi = jnp.where(end > 0, csum[jnp.maximum(end - 1, 0)], 0)
+    lo = jnp.where(start > 0, csum[jnp.maximum(start - 1, 0)], 0)
+    return hi - lo
+
+
+@partial(jax.jit, static_argnames=("bin_size",))
 def gc_binned_from_packed(words: jnp.ndarray, n_true, bin_size: int):
     """GC count per bin from 2-bit-packed words (ACGT codes: C=1, G=2):
     unpack + compare + one cumsum + a gather at the bin edges — exact

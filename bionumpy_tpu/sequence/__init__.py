@@ -4,7 +4,7 @@ from .dna import (get_reverse_complement, get_sequences,
                   get_strand_specific_sequences)
 from .kmers import KmerEncoder, count_kmers, get_kmers
 from .minimizers import (Minimizers, count_minimizers,
-                         get_minimizers)
+                         count_minimizers_with_gc, get_minimizers)
 from .position_weight_matrix import (PWM, PositionWeightMatrix,
                                      get_motif_matches,
                                      get_motif_scores)
@@ -12,7 +12,7 @@ from .string_matcher import match_string
 from .translate import translate_dna_to_protein
 from .genes import get_transcript_sequences
 
-__all__ = ["get_kmers", "count_kmers", "get_minimizers", "count_minimizers",
+__all__ = ["get_kmers", "count_kmers", "get_minimizers", "count_minimizers", "count_minimizers_with_gc",
            "translate_dna_to_protein", "get_motif_scores",
            "get_motif_matches", "PWM",
            "get_reverse_complement", "get_strand_specific_sequences",

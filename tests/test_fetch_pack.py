@@ -69,3 +69,42 @@ def test_exception_overflow_returns_none():
     cnt = np.full(len(hashes), 1 << 17, np.uint32)  # every row excepts
     out, n_exc = roundtrip(hashes, cnt, 1 << 13)
     assert out is None and n_exc > EXC_CAP
+
+
+def test_pack32_adversarial_exceptions():
+    """32-bit rows: heavy-tail deltas and counts >= 256 go through the
+    2^16-row exception block exactly (the minimizer-table regime)."""
+    from bionumpy_tpu.ops.fetch_pack import (HEAD32, pack_sorted_table32,
+                                             unpack_sorted_table32)
+    rng = np.random.default_rng(7)
+    n = 5000
+    h = np.sort(rng.choice(np.uint64(1) << np.uint64(42), n,
+                           replace=False).astype(np.uint64))
+    c = rng.integers(1, 5000, n).astype(np.uint32)  # many >= 256
+    acc = np.zeros((3, n + 77), np.uint32)
+    acc[0, :n] = (h & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    acc[1, :n] = (h >> np.uint64(32)).astype(np.uint32)
+    acc[2, :n] = c
+    slab = np.asarray(pack_sorted_table32(jnp.asarray(acc),
+                                          jnp.int32(n)))
+    got_h, got_c = unpack_sorted_table32(slab[: HEAD32 + n + 13])
+    assert np.array_equal(got_h, h)
+    assert np.array_equal(got_c, c.astype(np.int64))
+
+
+def test_pack32_zero_and_no_exceptions():
+    from bionumpy_tpu.ops.fetch_pack import (HEAD32, pack_sorted_table32,
+                                             unpack_sorted_table32)
+    h = np.arange(1, 100, dtype=np.uint64) * 1000
+    c = np.full(99, 3, np.uint32)
+    acc = np.zeros((3, 128), np.uint32)
+    acc[0, :99] = h.astype(np.uint32)
+    acc[2, :99] = c
+    slab = np.asarray(pack_sorted_table32(jnp.asarray(acc),
+                                          jnp.int32(99)))
+    got_h, got_c = unpack_sorted_table32(slab[: HEAD32 + 99])
+    assert np.array_equal(got_h, h)
+    assert np.array_equal(got_c, c.astype(np.int64))
+    e_h, e_c = unpack_sorted_table32(np.asarray(
+        pack_sorted_table32(jnp.asarray(acc), jnp.int32(0)))[:HEAD32])
+    assert len(e_h) == 0 and len(e_c) == 0

@@ -1,4 +1,27 @@
 import numpy as np
+
+
+def test_count_minimizers_with_gc_matches_separate_paths():
+    """The fused one-transfer config-3 job equals the separate
+    count_minimizers + gc_track results, incl. the cap-overflow loop."""
+    import bionumpy_tpu as bnp
+    from bionumpy_tpu.sequence import (count_minimizers,
+                                       count_minimizers_with_gc)
+    rng = np.random.default_rng(3)
+    lengths = rng.integers(30, 200, 200)
+    flat = rng.integers(0, 4, lengths.sum()).astype(np.uint8)
+    seqs = bnp.EncodedRaggedArray(
+        bnp.EncodedArray(flat, bnp.DNAEncoding), lengths)
+    k, w, bs = 21, 30, 100
+    exp = count_minimizers(seqs, k, w, cap=1 << 14)
+    gc_exp = np.add.reduceat((flat == 1) | (flat == 2),
+                             np.arange(0, len(flat), bs))
+    for cap in (1 << 14, 64):  # second one exercises the cap loop
+        got, gc = count_minimizers_with_gc(seqs, k, w, cap=cap,
+                                           bin_size=bs)
+        assert np.array_equal(got.label_codes, exp.label_codes)
+        assert np.array_equal(got.counts, exp.counts)
+        assert np.array_equal(gc, gc_exp)
 import pytest
 
 import bionumpy_tpu as bnp
