@@ -941,23 +941,45 @@ def count_kmers_fastq(path: str, k: int = 31, cap: int = 1 << 20,
     n_folds = 0
     last_spill_fold = -1
 
+    from functools import partial as _p
+
+    @_p(jax.jit, static_argnames=("kk", "batch_cap"))
+    def _packed_step(m_acc, words_d, ends_d, kk, nb, batch_cap):
+        # count + meta-fold in ONE dispatch: every jitted call is a
+        # relay round-trip; fusing halves the per-batch dispatch count
+        lo_t, hi_t, cnt, meta = kmer_sentinel_table_packed(
+            words_d, ends_d, kk, nb, batch_cap)
+        return (lo_t, hi_t, cnt), meta_add_packed(m_acc, meta)
+
+    @_p(jax.jit, static_argnames=("kk", "rows", "batch_cap"))
+    def _device_parse_step(m_acc, raw_d, lut, kk, n_true, rows,
+                           batch_cap):
+        table, meta = fastq_to_sparse_kmer_table(
+            raw_d, lut, n_true, rows, kk, batch_cap)
+        return ((table[0], table[1], table[2].astype(jnp.int32)),
+                meta_add_device(m_acc, meta))
+
     def count_packed(words, ends, nb, batch_cap):
+        """Returns the sentinel table; folds the batch meta into the
+        device meta accumulator as part of the same dispatch."""
+        nonlocal meta_acc
         with stage("H2D", n_bytes=words.nbytes + ends.nbytes):
             words_d = jax.device_put(words, device)
             ends_d = jax.device_put(ends, device)
         with stage("dispatch"):
-            lo_t, hi_t, cnt, meta = kmer_sentinel_table_packed(
-                words_d, ends_d, k, nb, batch_cap)
-        return (lo_t, hi_t, cnt), meta
+            table, meta_acc = _packed_step(meta_acc, words_d, ends_d,
+                                           k, nb, batch_cap)
+        return table
 
     def count_device_parse(padded, n_true, batch_cap):
+        nonlocal meta_acc
         with stage("H2D", n_bytes=padded.nbytes):
             raw_d = jax.device_put(padded, device)
         with stage("dispatch"):
-            table, meta = fastq_to_sparse_kmer_table(
-                raw_d, lut_dev, jnp.int32(n_true),
-                padded.shape[0] // 16, k, batch_cap)
-        return (table[0], table[1], table[2].astype(jnp.int32)), meta
+            table, meta_acc = _device_parse_step(
+                meta_acc, raw_d, lut_dev, k, jnp.int32(n_true),
+                padded.shape[0] // 16, batch_cap)
+        return table
 
     acc_nu = None  # device scalar: distinct rows after the last fold
 
@@ -1003,21 +1025,19 @@ def count_kmers_fastq(path: str, k: int = 31, cap: int = 1 << 20,
         happens at all (the r3/r4 stacked meta fetch was still 33% of
         the r4 driver wall).  The spill guard uses the host-known byte
         count as an upper bound on kmers (bases >= kmers)."""
-        nonlocal n_reads, n_bases, n_batches, kmers_in_acc, meta_acc, \
+        nonlocal n_reads, n_bases, n_batches, kmers_in_acc, \
             last_spill_fold, any_device_parse
         mode, payload = prepped
         if mode == "packed":
             words, ends, nb, nr = payload
-            table, meta = count_packed(words, ends, nb, cap)
+            table = count_packed(words, ends, nb, cap)
             n_bases += nb
             n_reads += nr
             bound = nb
-            meta_acc = meta_add_packed(meta_acc, meta)
         else:
             padded, n_true = payload
-            table, meta = count_device_parse(padded, n_true, cap)
+            table = count_device_parse(padded, n_true, cap)
             bound = int(padded.shape[0])  # kmers <= raw batch bytes
-            meta_acc = meta_add_device(meta_acc, meta)
             any_device_parse = True
         n_batches += 1
         if kmers_in_acc + bound > _SPILL_LIMIT:
