@@ -29,6 +29,11 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import numpy as np
 
+# jax's persistent cache refuses the axon platform; force it on (cache
+# get/put failures are swallowed by jax, so this is strictly better)
+from bionumpy_tpu.util.jax_cache import enable_relay_compile_cache
+enable_relay_compile_cache()
+
 K = 31
 REPLICATION = 2048  # 2048 gzip members x 1000 reads = 446M bases/job
 N_VARIANTS = 64     # diverse members: 64 mutated variants x 32 copies

@@ -50,6 +50,9 @@ def _build(flat: np.ndarray, lengths: np.ndarray,
            min_bucket: int) -> DeviceSeqs:
     global TRANSFER_COUNT, TRANSFER_BYTES
     import jax
+
+    from ..util.jax_cache import enable_relay_compile_cache
+    enable_relay_compile_cache()
     from .kmers import prepare_packed
 
     words, ends, n = prepare_packed(flat, lengths, min_bucket)

@@ -792,6 +792,9 @@ def _device_merge_fns():
     global _fold_program, _make_acc, _make_sentinel
     if _fold_program is None:
         import jax
+
+        from .util.jax_cache import enable_relay_compile_cache
+        enable_relay_compile_cache()
         from functools import partial as _p
         _fold_program = _p(jax.jit, static_argnames=("acc_cap",),
                            donate_argnums=(0,))(_fold_program_impl)
@@ -811,6 +814,46 @@ def _device_merge_fns():
         _make_acc = make_acc
         _make_sentinel = make_sentinel
     return _fold_program, _make_acc, _make_sentinel
+
+
+_count_steps = None
+
+
+def _count_step_fns():
+    """MODULE-CACHED fused count+meta-fold programs.  These must not be
+    defined per count_kmers_fastq call: a fresh jax.jit object has its
+    own trace cache, so a per-call definition recompiles every batch
+    program through the relay on EVERY job — exactly the 12-compiles-
+    per-run dispatch wedge the r5 full-bench session hit."""
+    global _count_steps
+    if _count_steps is None:
+        import jax
+        import jax.numpy as jnp
+        from functools import partial as _p
+
+        from .ops.kmers import kmer_sentinel_table_packed
+        from .ops.parse import fastq_to_sparse_kmer_table
+        _, meta_add_packed, meta_add_device = _meta_fold_fns()
+
+        @_p(jax.jit, static_argnames=("kk", "batch_cap"))
+        def packed_step(m_acc, words_d, ends_d, kk, nb, batch_cap):
+            # count + meta-fold in ONE dispatch: every jitted call is
+            # a relay round-trip
+            lo_t, hi_t, cnt, meta = kmer_sentinel_table_packed(
+                words_d, ends_d, kk, nb, batch_cap)
+            return (lo_t, hi_t, cnt), meta_add_packed(m_acc, meta)
+
+        @_p(jax.jit, static_argnames=("kk", "rows", "batch_cap"))
+        def device_parse_step(m_acc, raw_d, lut, kk, n_true, rows,
+                              batch_cap):
+            table, meta = fastq_to_sparse_kmer_table(
+                raw_d, lut, n_true, rows, kk, batch_cap)
+            return ((table[0], table[1],
+                     table[2].astype(jnp.int32)),
+                    meta_add_device(m_acc, meta))
+
+        _count_steps = (packed_step, device_parse_step)
+    return _count_steps
 
 
 _meta_fold = None
@@ -941,23 +984,7 @@ def count_kmers_fastq(path: str, k: int = 31, cap: int = 1 << 20,
     n_folds = 0
     last_spill_fold = -1
 
-    from functools import partial as _p
-
-    @_p(jax.jit, static_argnames=("kk", "batch_cap"))
-    def _packed_step(m_acc, words_d, ends_d, kk, nb, batch_cap):
-        # count + meta-fold in ONE dispatch: every jitted call is a
-        # relay round-trip; fusing halves the per-batch dispatch count
-        lo_t, hi_t, cnt, meta = kmer_sentinel_table_packed(
-            words_d, ends_d, kk, nb, batch_cap)
-        return (lo_t, hi_t, cnt), meta_add_packed(m_acc, meta)
-
-    @_p(jax.jit, static_argnames=("kk", "rows", "batch_cap"))
-    def _device_parse_step(m_acc, raw_d, lut, kk, n_true, rows,
-                           batch_cap):
-        table, meta = fastq_to_sparse_kmer_table(
-            raw_d, lut, n_true, rows, kk, batch_cap)
-        return ((table[0], table[1], table[2].astype(jnp.int32)),
-                meta_add_device(m_acc, meta))
+    _packed_step, _device_parse_step = _count_step_fns()
 
     def count_packed(words, ends, nb, batch_cap):
         """Returns the sentinel table; folds the batch meta into the
