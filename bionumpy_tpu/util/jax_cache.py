@@ -24,10 +24,37 @@ def enable_relay_compile_cache() -> bool:
     if _done:
         return True
     try:
+        import os
+
+        import jax
         from jax._src import compilation_cache as cc
+
+        # The axon sitecustomize imports jax at interpreter start, so
+        # env vars set later (bench.py, tests) never reach jax's
+        # config.  Set the cache dir explicitly; repo-local so it
+        # survives fresh driver environments (/tmp does not).
+        if not jax.config.jax_compilation_cache_dir:
+            default = os.path.join(
+                os.path.dirname(os.path.dirname(
+                    os.path.dirname(os.path.abspath(__file__)))),
+                ".jax_cache")
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                os.environ.get("JAX_COMPILATION_CACHE_DIR") or default)
+
+        def is_cache_used(backend) -> bool:
+            # replaces the platform gate entirely; must survive
+            # xla_bridge backend-cache clears, which reset the
+            # module's _cache_checked/_cache_used flags
+            with cc._cache_initialized_mutex:
+                cc._cache_checked = True
+                cc._cache_used = cc._is_cache_enabled()
+                return cc._cache_used
+
+        cc.is_cache_used = is_cache_used
         with cc._cache_initialized_mutex:
             cc._cache_checked = True
-            cc._cache_used = True
+            cc._cache_used = cc._is_cache_enabled()
         _done = True
     except Exception:
         return False
