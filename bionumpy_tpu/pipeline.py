@@ -1042,7 +1042,9 @@ def count_kmers_fastq(path: str, k: int = 31, cap: int = 1 << 20,
         spilled = merge_sorted_tables(*spilled, h, c)
         with jax.default_device(device):
             acc = make_acc(acc_cap)
-        acc_nu = None
+        # fresh acc has 0 live rows; keep a device scalar so the final
+        # meta-carrying fetch works even if no further fold runs
+        acc_nu = jnp.int32(0)
         kmers_in_acc = 0
 
     def launch(prepped):

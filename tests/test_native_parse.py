@@ -114,3 +114,62 @@ def test_empty_chunk():
         np.empty(0, np.uint8), out_bytes=16)
     assert n_bases == 0 and len(lengths) == 0
     assert np.array_equal(out, np.zeros(16, np.uint8))
+
+
+def test_gather_rows_matches_numpy_plan():
+    from bionumpy_tpu import native
+    rng = np.random.default_rng(11)
+    src = rng.integers(0, 256, 40000).astype(np.uint8)
+    starts = rng.integers(0, 39000, 5000).astype(np.int64)
+    lens = rng.integers(0, 30, 5000).astype(np.int64)
+    out = native.gather_rows(src, starts, lens)
+    if out is None:
+        return  # no native lib in this environment
+    exp = src[np.repeat(starts - np.insert(np.cumsum(lens)[:-1], 0, 0),
+                        lens) + np.arange(int(lens.sum()))] \
+        if lens.sum() else np.empty(0, np.uint8)
+    assert np.array_equal(out, exp)
+    # tail row ending at the buffer end, short-row fast-path width
+    assert np.array_equal(
+        native.gather_rows(src, np.array([len(src) - 3]),
+                           np.array([3])), src[-3:])
+    # out-of-bounds row falls back (returns None)
+    assert native.gather_rows(src, np.array([len(src) - 1]),
+                              np.array([2])) is None
+
+
+def test_parse_ints_signed_and_fallback():
+    from bionumpy_tpu import native
+    rng = np.random.default_rng(0)
+    vals = rng.integers(-10**17, 10**17, 2000)
+    text = "\n".join(str(v) for v in vals).encode()
+    buf = np.frombuffer(text, np.uint8)
+    starts, ends, pos = [], [], 0
+    for v in vals:
+        t = str(v)
+        starts.append(pos)
+        ends.append(pos + len(t))
+        pos += len(t) + 1
+    out = native.parse_ints(buf, np.array(starts), np.array(ends))
+    if out is None:
+        return
+    assert np.array_equal(out, vals)
+    bad = np.frombuffer(b"12a", np.uint8)
+    assert native.parse_ints(bad, np.array([0]), np.array([3])) is None
+    empty = native.parse_ints(bad, np.array([1]), np.array([1]))
+    assert empty is None  # empty row -> checked numpy path
+
+
+def test_array_stream_protocol():
+    from bionumpy_tpu.io.pgzip import ArrayStream
+    arr = np.frombuffer(b"hello\nworld\nrest", np.uint8)
+    s = ArrayStream(arr.copy())
+    assert s.readline() == b"hello\n"
+    assert s.read(3) == b"wor"
+    assert s.readline() == b"ld\n"
+    assert bytes(memoryview(s.read_array())) == b"rest"
+    assert s.read() == b""
+    s.seek(0)
+    assert s.read() == b"hello\nworld\nrest"
+    s.seek(-4, 2)
+    assert s.read() == b"rest"
