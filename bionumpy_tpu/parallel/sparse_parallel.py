@@ -126,9 +126,13 @@ def sharded_sparse_count_fold_step(mesh: Mesh, k: int, cap: int,
     pinned-shape program per batch, zero per-batch D2H except the tiny
     per-shard meta matrix.
 
-    step(acc, words, ends, n_true) -> (new_acc (3, acc_cap) uint32,
-    metas (n_dev, 2) int32 [n_unique, n_valid] per shard,
-    n_unique_total scalar).
+    step(acc, meta_acc, words, ends, n_true) -> (new_acc (3, acc_cap)
+    uint32, new_meta_acc (8,) uint32, n_unique_total scalar).  The
+    meta accumulator is the single-chip pipeline's
+    [max_unique, kmers_lo, kmers_hi, ...] vector folded ACROSS shards
+    inside the step (pmax/psum over 'dp'), so nothing per-batch
+    crosses the host link at all — meta rides the final table fetch
+    exactly as on one chip.
     """
     key = (mesh, k, cap, acc_cap)
     if key in _FOLD_STEP_CACHE:
@@ -140,21 +144,25 @@ def sharded_sparse_count_fold_step(mesh: Mesh, k: int, cap: int,
         {"check_rep": False}
 
     @partial(shard_map, mesh=mesh,
-             in_specs=(P(), P("dp", None), P("dp", None), P("dp")),
+             in_specs=(P(), P(), P("dp", None), P("dp", None), P("dp")),
              out_specs=(P(), P(), P()), **check_kw)
-    def step(acc, words_b, ends_b, n_true_b):
+    def step(acc, m_acc, words_b, ends_b, n_true_b):
         lo_t, hi_t, cnt, meta = _local_table(words_b[0], ends_b[0],
                                              n_true_b[0], k, cap)
         lo_g = jax.lax.all_gather(lo_t, "dp").reshape(-1)
         hi_g = jax.lax.all_gather(hi_t, "dp").reshape(-1)
         cnt_g = jax.lax.all_gather(cnt, "dp").reshape(-1)
-        metas = jax.lax.all_gather(meta, "dp")
+        max_u = jax.lax.pmax(meta[0], "dp").astype(jnp.uint32)
+        tot_v = jax.lax.psum(meta[1], "dp").astype(jnp.uint32)
+        lo32 = m_acc[1] + tot_v
+        carry = (lo32 < tot_v).astype(jnp.uint32)
+        m_acc = m_acc.at[0].max(max_u).at[1].set(lo32).at[2].add(carry)
         lo = jnp.concatenate([acc[0], lo_g])
         hi = jnp.concatenate([acc[1], hi_g])
         c = jnp.concatenate([acc[2].astype(jnp.int32), cnt_g])
         m_lo, m_hi, m_cnt, n_u = merge_hash_tables(lo, hi, c, acc_cap)
         return (jnp.stack([m_lo, m_hi, m_cnt.astype(jnp.uint32)]),
-                metas, n_u)
+                m_acc, n_u)
 
     jitted = jax.jit(step, donate_argnums=(0,))
     _FOLD_STEP_CACHE[key] = jitted

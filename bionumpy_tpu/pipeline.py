@@ -1302,11 +1302,13 @@ def _count_kmers_fastq_mesh(path: str, k: int, cap: int,
     dp = NamedSharding(mesh, P("dp"))
     dp2 = NamedSharding(mesh, P("dp", None))
     acc = jax.jit(lambda: make_acc(acc_cap), out_shardings=rep)()
+    meta_init, _, _ = _meta_fold_fns()
+    meta_acc = jax.jit(meta_init, out_shardings=rep)()
 
     pool = ThreadPoolExecutor(n_threads)
-    n_reads = n_bases = n_kmers = 0
+    n_reads = n_bases = 0
+    n_batches = 0
     acc_nu = None
-    meta_window = []
     try:
         for raw in _prefetched(
                 _batch_arrays(path, target_bases * n_dev, pool)):
@@ -1327,25 +1329,36 @@ def _count_kmers_fastq_mesh(path: str, k: int, cap: int,
                 n_reads += nr
                 n_bases += nb
             with stage("mesh-step"):
-                acc, metas, acc_nu = step(acc,
-                                          jax.device_put(words, dp2),
-                                          jax.device_put(ends, dp2),
-                                          jax.device_put(n_true, dp))
-            meta_window.append(metas)
-            n_kmers += _drain_mesh_metas(
-                meta_window, cap, "distinct kmers", force=False)
-            if n_kmers > _SPILL_LIMIT:
-                raise ValueError(
-                    "job exceeds 2^31 k-mers: use the single-device "
-                    "path (it spills to a host int64 table) or split "
-                    "the input")
-        n_kmers += _drain_mesh_metas(meta_window, cap,
-                                     "distinct kmers", force=True)
+                acc, meta_acc, acc_nu = step(
+                    acc, meta_acc,
+                    jax.device_put(words, dp2),
+                    jax.device_put(ends, dp2),
+                    jax.device_put(n_true, dp))
+            n_batches += 1
     finally:
         pool.shutdown(wait=False)
 
+    if n_batches == 0:
+        stats = {"n_reads": 0, "n_bases": 0, "n_kmers": 0}
+        return SparseEncodedCounts(
+            KmerEncoding(DNAEncoding, k), np.empty(0, np.uint64),
+            np.empty(0, np.int64)), stats
     with stage("D2H-table"):
-        hashes, counts = _fetch_acc(acc, acc_cap, acc_nu)
+        hashes, counts, meta_h = _fetch_acc(acc, acc_cap, acc_nu,
+                                            meta_acc)
+    max_unique = int(meta_h[0])
+    n_kmers = int(meta_h[1]) | (int(meta_h[2]) << 32)
+    if max_unique > cap:
+        new_cap = 1 << (max_unique - 1).bit_length()
+        logger.warning(
+            "count_kmers_fastq(mesh): shard table overflow (%d > "
+            "cap=%d); rerunning at cap=%d", max_unique, cap, new_cap)
+        return _count_kmers_fastq_mesh(path, k, new_cap, target_bases,
+                                       mesh, n_threads, None)
+    if n_kmers > _SPILL_LIMIT:
+        raise ValueError(
+            "job exceeds 2^31 k-mers: use the single-device path (it "
+            "spills to a host int64 table) or split the input")
     stats = {"n_reads": n_reads, "n_bases": n_bases, "n_kmers": n_kmers}
     return SparseEncodedCounts(KmerEncoding(DNAEncoding, k), hashes,
                                counts), stats
