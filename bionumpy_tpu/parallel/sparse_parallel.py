@@ -210,21 +210,27 @@ def sharded_minimizer_count_fold_step(mesh: Mesh, k: int,
         {"check_rep": False}
 
     @partial(shard_map, mesh=mesh,
-             in_specs=(P(), P("dp", None), P("dp", None), P("dp")),
+             in_specs=(P(), P(), P("dp", None), P("dp", None), P("dp")),
              out_specs=(P(), P(), P()), **check_kw)
-    def step(acc, words_b, ends_b, n_true_b):
+    def step(acc, m_acc, words_b, ends_b, n_true_b):
         lo_t, hi_t, cnt, meta = _local_minimizer_table(
             words_b[0], ends_b[0], n_true_b[0], k, n_kmers, cap)
         lo_g = jax.lax.all_gather(lo_t, "dp").reshape(-1)
         hi_g = jax.lax.all_gather(hi_t, "dp").reshape(-1)
         cnt_g = jax.lax.all_gather(cnt, "dp").reshape(-1)
-        metas = jax.lax.all_gather(meta, "dp")
+        # meta folds across shards ON DEVICE (pmax/psum) and rides the
+        # final table fetch — no per-window stacked meta transfers
+        max_u = jax.lax.pmax(meta[0], "dp").astype(jnp.uint32)
+        tot_v = jax.lax.psum(meta[1], "dp").astype(jnp.uint32)
+        lo32 = m_acc[1] + tot_v
+        carry = (lo32 < tot_v).astype(jnp.uint32)
+        m_acc = m_acc.at[0].max(max_u).at[1].set(lo32).at[2].add(carry)
         lo = jnp.concatenate([acc[0], lo_g])
         hi = jnp.concatenate([acc[1], hi_g])
         c = jnp.concatenate([acc[2].astype(jnp.int32), cnt_g])
         m_lo, m_hi, m_cnt, n_u = merge_hash_tables(lo, hi, c, acc_cap)
         return (jnp.stack([m_lo, m_hi, m_cnt.astype(jnp.uint32)]),
-                metas, n_u)
+                m_acc, n_u)
 
     jitted = jax.jit(step, donate_argnums=(0,))
     _FOLD_STEP_CACHE[key] = jitted

@@ -763,27 +763,6 @@ _fold_program = None
 _make_acc = None
 _make_sentinel = None
 _sentinel_cache = {}
-_meta_stack = None
-
-# batches kept in flight beyond a full fold window before the pipeline
-# blocks on a meta fetch: the stacked fetch then syncs on work the
-# device has long finished instead of the batch just dispatched
-META_LAG = 2
-
-
-def _meta_stacker():
-    """Jitted device-side stack of N same-shape meta vectors, so a whole
-    fold window's metas cross the relay in ONE D2H round-trip (the
-    per-batch fetch was 56% of the r3 driver headline wall).  jit
-    retraces per arity; only a handful of tiny programs exist."""
-    global _meta_stack
-    if _meta_stack is None:
-        import jax
-        import jax.numpy as jnp
-        _meta_stack = jax.jit(lambda *ms: jnp.stack(ms))
-    return _meta_stack
-
-
 def _device_merge_fns():
     """Module-level jitted fold/init programs (created lazily so plain
     imports never touch the TPU relay, cached so every call to
@@ -1364,32 +1343,6 @@ def _count_kmers_fastq_mesh(path: str, k: int, cap: int,
                                counts), stats
 
 
-# mesh pipelines keep this many per-batch meta matrices on device and
-# fetch them in ONE stacked transfer (the single-device path's
-# stacked-window fetch, applied to the dp fold steps)
-_MESH_META_WINDOW = 4
-
-
-def _drain_mesh_metas(window: list, cap: int, what: str,
-                      force: bool) -> int:
-    """Fetch and validate queued per-shard meta matrices once the
-    window is full (or at end of stream); returns the total counted
-    items across the drained batches."""
-    if not window or (not force and len(window) < _MESH_META_WINDOW):
-        return 0
-    with stage("D2H-meta"):
-        if len(window) == 1:
-            m_all = np.asarray(window[0])[None]
-        else:
-            m_all = np.asarray(_meta_stacker()(*window))
-    window.clear()
-    if (m_all[:, :, 0] > cap).any():
-        raise ValueError(
-            f"shard had {int(m_all[:, :, 0].max())} {what} "
-            f"> cap {cap}; raise cap")
-    return int(m_all[:, :, 1].sum())
-
-
 def _as_dp_mesh(mesh):
     """The caller's mesh, or a 1-device 'dp' mesh on the default
     device (so the mesh-composed pipelines are also the single-chip
@@ -1460,31 +1413,46 @@ def count_minimizers_fastq(path: str, k: int = 21,
     dp = NamedSharding(mesh, P("dp"))
     dp2 = NamedSharding(mesh, P("dp", None))
     acc = jax.jit(lambda: make_acc(acc_cap), out_shardings=rep)()
+    meta_init, _, _ = _meta_fold_fns()
+    meta_acc = jax.jit(meta_init, out_shardings=rep)()
 
     pool = ThreadPoolExecutor(n_threads)
-    n_reads = n_bases = n_windows = 0
+    n_reads = n_bases = 0
+    n_batches = 0
     acc_nu = None
-    meta_window = []
     try:
         for words, ends, n_true, parsed in _sharded_batches(
                 path, target_bases, n_dev, pool):
             n_reads += sum(p[3] for p in parsed)
             n_bases += sum(p[2] for p in parsed)
             with stage("mesh-step"):
-                acc, metas, acc_nu = step(acc,
-                                          jax.device_put(words, dp2),
-                                          jax.device_put(ends, dp2),
-                                          jax.device_put(n_true, dp))
-            meta_window.append(metas)
-            n_windows += _drain_mesh_metas(
-                meta_window, cap, "distinct minimizers", force=False)
-        n_windows += _drain_mesh_metas(
-            meta_window, cap, "distinct minimizers", force=True)
+                acc, meta_acc, acc_nu = step(
+                    acc, meta_acc,
+                    jax.device_put(words, dp2),
+                    jax.device_put(ends, dp2),
+                    jax.device_put(n_true, dp))
+            n_batches += 1
     finally:
         pool.shutdown(wait=False)
 
+    if n_batches == 0:
+        return SparseEncodedCounts(
+            KmerEncoding(DNAEncoding, k), np.empty(0, np.uint64),
+            np.empty(0, np.int64)), \
+            {"n_reads": 0, "n_bases": 0, "n_windows": 0}
     with stage("D2H-table"):
-        hashes, counts = _fetch_acc(acc, acc_cap, acc_nu)
+        hashes, counts, meta_h = _fetch_acc(acc, acc_cap, acc_nu,
+                                            meta_acc)
+    max_unique = int(meta_h[0])
+    n_windows = int(meta_h[1]) | (int(meta_h[2]) << 32)
+    if max_unique > cap:
+        new_cap = 1 << (max_unique - 1).bit_length()
+        logger.warning(
+            "count_minimizers_fastq(mesh): shard table overflow (%d > "
+            "cap=%d); rerunning at cap=%d", max_unique, cap, new_cap)
+        return count_minimizers_fastq(
+            path, k, window_size, cap=new_cap,
+            target_bases=target_bases, mesh=mesh, n_threads=n_threads)
     stats = {"n_reads": n_reads, "n_bases": n_bases,
              "n_windows": n_windows}
     return SparseEncodedCounts(KmerEncoding(DNAEncoding, k), hashes,
