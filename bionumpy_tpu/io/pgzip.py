@@ -172,6 +172,8 @@ class ArrayStream(io.RawIOBase):
         if idx < 0:  # long line: fall back to a full-tail search
             idx = bytes(mv[self._pos:]).find(b"\n")
         stop = end if idx < 0 else self._pos + idx + 1
+        if limit is not None and limit >= 0:
+            stop = min(stop, self._pos + limit)
         out = bytes(mv[self._pos: stop])
         self._pos = stop
         return out

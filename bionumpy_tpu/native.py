@@ -412,6 +412,13 @@ def gather_rows(src: np.ndarray, starts: np.ndarray,
     src = np.ascontiguousarray(src, dtype=np.uint8)
     starts = np.ascontiguousarray(starts, dtype=np.int64)
     lens = np.ascontiguousarray(lens, dtype=np.int64)
+    if len(lens) and (lens.min() < 0 or starts.min() < 0
+                      or int((starts + lens).max()) > len(src)):
+        # a malformed plan (e.g. field_ends < field_starts) must fall
+        # back to the checked numpy path BEFORE sizing the output: the
+        # kernel validates per row, but a negative length after valid
+        # rows would overflow an output sized by the (smaller) sum
+        return None
     total = int(lens.sum())
     out = np.empty(total + 8, dtype=np.uint8)  # kernel needs 7B slack
     got = lib.gather_rows_u8(

@@ -75,18 +75,24 @@ def _inflated_parts(path: str, pool: ThreadPoolExecutor) -> Iterator[bytes]:
 
 
 def _inflated_parts_from(data: bytes, pool: ThreadPoolExecutor,
-                         start: int = 0) -> Iterator[bytes]:
+                         start: int = 0,
+                         part_bytes: int = None) -> Iterator[bytes]:
     """Stream inflated members of data[start:] with a bounded look-ahead
-    window on the pool (the repairing generic path)."""
+    window on the pool (the repairing generic path).  `part_bytes`
+    bounds the single-member whole-inflate parts so downstream batch
+    cuts can honor a small target (batches are cut at part
+    granularity)."""
     from .io.pgzip import _inflate_segment, inflate_members, member_offsets
+    if part_bytes is None:
+        part_bytes = _PART_BYTES
     if start:
         data = data[start:]
     offsets = member_offsets(data)
     if len(offsets) < 2:
         with stage("inflate", n_bytes=len(data)):
             raw = _inflate_segment(data)
-        for i in range(0, len(raw), _PART_BYTES):
-            yield raw[i: i + _PART_BYTES]
+        for i in range(0, len(raw), part_bytes):
+            yield raw[i: i + part_bytes]
         return
     import zlib
     from collections import deque
@@ -488,11 +494,15 @@ def _batch_arrays(path: str, target_bases: int,
 
     ensure_members(2)
     cands = scanner.cands
-    # no candidate member start at all (tiny or non-gzip-shaped file):
-    # the member-batch path has nothing to work with.  A SINGLE member
-    # stays on the fused path — one-member batches still get the fused
-    # inflate+parse and slab stitching.
-    if not cands and scanner.exhausted:
+    # The member-batch path cannot split WITHIN a member, so a file
+    # that is one big member must take the generic target-sized
+    # splitting path (a 400MB single-member gzip would otherwise
+    # become ONE device batch — 16x the designed sort working set).  A
+    # single SMALL member (compressed size well under a batch) keeps
+    # the fused inflate+parse path.  No candidates at all (tiny or
+    # non-gzip-shaped file) also falls back.
+    if scanner.exhausted and len(cands) < 2 and (
+            not cands or ovr.size > max(target_bases // 2, 1 << 20)):
         yield from fall_back_all()
         return
 
@@ -648,8 +658,12 @@ def _generic_tail(data: bytes, start: int, target_bases: int,
     """Generic carry batching over data[start:] with the streaming
     repairing member inflater (the fallback when the member-table fast
     path can't be trusted)."""
+    # raw FASTQ bytes per base ~= 1/seq_frac (2-3x); cap parts near
+    # the target so single-member whole-inflate batches honor it
+    part_bytes = min(_PART_BYTES, max(target_bases * 3, 1 << 20))
     yield from _batches_from_parts(
-        _inflated_parts_from(data, pool, start), target_bases)
+        _inflated_parts_from(data, pool, start, part_bytes),
+        target_bases)
 
 
 def _seq_fraction(chunk: bytes) -> float:
@@ -954,7 +968,9 @@ def count_kmers_fastq(path: str, k: int = 31, cap: int = 1 << 20,
     with jax.default_device(device):
         acc = make_acc(acc_cap)
         meta_acc = meta_init()
+    from collections import deque
     pending = []       # device (lo, hi, cnt) triples awaiting a fold
+    recent_folds = deque()  # fold outputs for bounded backpressure
     spilled = (np.empty(0, np.uint64), np.empty(0, np.int64))
     n_reads = n_bases = 0
     n_batches = 0
@@ -1008,8 +1024,16 @@ def count_kmers_fastq(path: str, k: int = 31, cap: int = 1 << 20,
                 acc, acc_nu = fold_program(acc, tuple(batch), acc_cap)
             pending[:] = rest
             n_folds += 1
+            recent_folds.append(acc_nu)
             if not force:
                 break
+        # BACKPRESSURE: block on the fold dispatched ~2 windows ago so
+        # in-flight device work (H2D buffers + queued cap-row tables)
+        # stays bounded when the relay/device lags the host — normally
+        # that fold finished long ago and this is free
+        while len(recent_folds) > 2:
+            with stage("backpressure"):
+                jax.block_until_ready(recent_folds.popleft())
 
     def spill_acc():
         """Fetch the accumulator and fold it into the host int64 table
@@ -1119,20 +1143,7 @@ def count_kmers_fastq(path: str, k: int = 31, cap: int = 1 << 20,
             KmerEncoding(DNAEncoding, k), np.empty(0, np.uint64),
             np.empty(0, np.int64)), stats
 
-    with stage("device-merge"):
-        fold_pending(force=True)
-    with stage("D2H-table"):
-        hashes, counts, meta_h = _fetch_acc(acc, acc_cap, acc_nu,
-                                            meta_acc)
-    # meta rode the table fetch: interpret it host-side now
-    max_unique = int(meta_h[0])
-    n_kmers = int(meta_h[1]) | (int(meta_h[2]) << 32)
-    if any_device_parse:
-        if not int(meta_h[4]):
-            raise ValueError("malformed FASTQ batch (device scan)")
-        n_reads += int(meta_h[3])
-        n_bases += int(meta_h[5]) | (int(meta_h[6]) << 32)
-    if max_unique > cap:
+    def rerun(max_unique):
         # some batch's distinct kmers overflowed its (truncated) table;
         # redo the whole job ONCE at a cap that fits (meta carries the
         # true per-batch distinct count, so one rerun suffices).  With
@@ -1142,11 +1153,38 @@ def count_kmers_fastq(path: str, k: int = 31, cap: int = 1 << 20,
         logger.warning(
             "count_kmers_fastq: batch table overflow (%d > cap=%d); "
             "rerunning at cap=%d", max_unique, cap, new_cap)
+        # an explicit caller acc_cap is preserved but never shrunk
+        # below what the new cap derives
+        new_acc_cap = None if acc_cap_arg is None else \
+            max(acc_cap_arg, 4 * new_cap)
         return count_kmers_fastq(
             path, k, cap=new_cap, target_bases=target_bases,
             device=device, n_threads=n_threads,
-            device_parse=device_parse, acc_cap=acc_cap_arg,
+            device_parse=device_parse, acc_cap=new_acc_cap,
             spill_windows=spill_windows)
+
+    with stage("device-merge"):
+        fold_pending(force=True)
+    try:
+        with stage("D2H-table"):
+            hashes, counts, meta_h = _fetch_acc(acc, acc_cap, acc_nu,
+                                                meta_acc)
+    except AccOverflow as e:
+        # a batch-cap overflow can drive the accumulator past acc_cap
+        # too: the self-healing rerun must win over the hard error
+        if e.meta_h is not None and int(e.meta_h[0]) > cap:
+            return rerun(int(e.meta_h[0]))
+        raise
+    # meta rode the table fetch: interpret it host-side now
+    max_unique = int(meta_h[0])
+    n_kmers = int(meta_h[1]) | (int(meta_h[2]) << 32)
+    if any_device_parse:
+        if not int(meta_h[4]):
+            raise ValueError("malformed FASTQ batch (device scan)")
+        n_reads += int(meta_h[3])
+        n_bases += int(meta_h[5]) | (int(meta_h[6]) << 32)
+    if max_unique > cap:
+        return rerun(max_unique)
     if len(spilled[0]):
         hashes, counts = merge_sorted_tables(*spilled, hashes, counts)
     stats = {"n_reads": n_reads, "n_bases": n_bases, "n_kmers": n_kmers}
@@ -1162,6 +1200,19 @@ _FETCH_QUANTUM = 1 << 18
 
 
 _nu_meta_cat = None
+
+
+class AccOverflow(ValueError):
+    """Accumulator has >= acc_cap distinct rows.  Carries the fetched
+    meta vector so callers can distinguish "a batch overflowed its cap
+    (self-heal by rerunning at a bigger cap)" from "acc_cap genuinely
+    too small"."""
+
+    def __init__(self, acc_cap, meta_h):
+        super().__init__(
+            f"accumulator overflow: >= {acc_cap} distinct k-mers; "
+            f"raise acc_cap")
+        self.meta_h = meta_h
 
 
 def _fetch_acc(acc, acc_cap: int, nu_dev=None, meta_dev=None):
@@ -1195,9 +1246,7 @@ def _fetch_acc(acc, acc_cap: int, nu_dev=None, meta_dev=None):
                               & (head[1] == 0xFFFFFFFF))
         nu = int(sent[0]) if len(sent) else 4096
     if nu >= acc_cap:
-        raise ValueError(
-            f"accumulator overflow: >= {acc_cap} distinct k-mers; "
-            f"raise acc_cap")
+        raise AccOverflow(acc_cap, meta_h)
     q = _FETCH_QUANTUM
     n_fetch = min(max(4096, (nu + q - 1) // q * q), acc_cap)
     if nu_dev is None:
@@ -1314,6 +1363,14 @@ def _count_kmers_fastq_mesh(path: str, k: int, cap: int,
                     jax.device_put(ends, dp2),
                     jax.device_put(n_true, dp))
             n_batches += 1
+            # doomed-job guard, host-side and mid-stream: kmers <=
+            # bases - (k-1)*reads, and the mesh acc's int32 counts
+            # cannot spill — abort before burning the whole run
+            if n_bases - (k - 1) * n_reads > _SPILL_LIMIT:
+                raise ValueError(
+                    "job exceeds 2^31 k-mers: use the single-device "
+                    "path (it spills to a host int64 table) or split "
+                    "the input")
     finally:
         pool.shutdown(wait=False)
 
@@ -1332,8 +1389,10 @@ def _count_kmers_fastq_mesh(path: str, k: int, cap: int,
         logger.warning(
             "count_kmers_fastq(mesh): shard table overflow (%d > "
             "cap=%d); rerunning at cap=%d", max_unique, cap, new_cap)
+        # never shrink the (possibly explicit) acc_cap on rerun
         return _count_kmers_fastq_mesh(path, k, new_cap, target_bases,
-                                       mesh, n_threads, None)
+                                       mesh, n_threads,
+                                       max(acc_cap, 4 * new_cap))
     if n_kmers > _SPILL_LIMIT:
         raise ValueError(
             "job exceeds 2^31 k-mers: use the single-device path (it "
@@ -1452,7 +1511,8 @@ def count_minimizers_fastq(path: str, k: int = 21,
             "cap=%d); rerunning at cap=%d", max_unique, cap, new_cap)
         return count_minimizers_fastq(
             path, k, window_size, cap=new_cap,
-            target_bases=target_bases, mesh=mesh, n_threads=n_threads)
+            target_bases=target_bases, mesh=mesh, n_threads=n_threads,
+            acc_cap=max(acc_cap, 4 * new_cap))
     stats = {"n_reads": n_reads, "n_bases": n_bases,
              "n_windows": n_windows}
     return SparseEncodedCounts(KmerEncoding(DNAEncoding, k), hashes,
